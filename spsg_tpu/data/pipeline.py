@@ -1,0 +1,393 @@
+"""Host-side data pipeline: chunk assembly, batching, file-list datasets.
+
+TPU-first redesign of the reference DataLoader stack
+(torch/scene_dataloader.py:15-265, torch/data_util.py:20-38): pure-numpy
+sample assembly feeding dense channel-last batches, a thread-prefetched
+iterator instead of torch DataLoader workers, and every tensor laid out so the
+jitted train step consumes it without reshapes.
+
+Batch layout (all zyx, channel-last):
+  input            (B, Z, Y, X, 4)  float32  [tsdf, 3 x color in [0,1]]
+  mask             (B, Z, Y, X, 1)  float32
+  target_sdf       (B, Z, Y, X)     float32  (-inf = unobserved)
+  target_colors    (B, Z, Y, X, 3)  float32  in [0, 255]
+  semantics        (B, Z, Y, X)     uint8    (14 = unlabeled)
+  known            (B, Z, Y, X)     uint8
+  world2grid       (B, 4, 4)        float32
+  images_depth     (B, H, W)        float32  meters (0 = hole)     [optional]
+  images_color     (B, 3, H, W)     float32                        [optional]
+  images_view      (B, 4, 4)        float32  camera->grid          [optional]
+  images_intrinsic (B, 4)           float32  [fx, fy, mx, my]      [optional]
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from . import colorspace, formats
+
+
+# ---------------------------------------------------------------------------
+# file lists (reference torch/data_util.py:20-38)
+# ---------------------------------------------------------------------------
+
+
+def get_train_files(data_path: str, file_list: str, val_file_list: str = "", max_num: int = 0):
+    """Resolve train/val chunk file lists; names without '.sdf' get
+    '__0__.sdf' appended (reference data_util.py:26-38). Returns
+    (train_files, val_files, overfit_flag)."""
+    names = open(file_list).read().splitlines()
+    if names and not names[0].endswith(".sdf"):
+        names = [n + "__0__.sdf" for n in names]
+    files = [os.path.join(data_path, f) for f in names]
+    val_files: List[str] = []
+    if val_file_list:
+        val_names = open(val_file_list).read().splitlines()
+        val_files = [os.path.join(data_path, f) for f in val_names]
+    if max_num > 0:
+        files = files[:max_num]
+        val_files = val_files[:max_num]
+    return files, val_files, len(files) == 1
+
+
+# ---------------------------------------------------------------------------
+# sample assembly (reference torch/scene_dataloader.py:194-264)
+# ---------------------------------------------------------------------------
+
+
+def assemble_sample(
+    sdf_input: np.ndarray,
+    sdf_target: np.ndarray,
+    input_colors: np.ndarray,
+    target_colors: np.ndarray,
+    semantics: Optional[np.ndarray],
+    known: Optional[np.ndarray],
+    world2grid: np.ndarray,
+    truncation: float,
+    color_space: str = "lab",
+    augment_hue_scale: Optional[float] = None,
+) -> Dict[str, np.ndarray]:
+    """Turn raw dense grids into one training sample.
+
+    Mirrors the tail of SceneDataset.__getitem__
+    (scene_dataloader.py:194-264): hue augmentation, color-space encoding,
+    input-mask computation, truncation clamping."""
+    if augment_hue_scale is not None:
+        input_colors = colorspace.augment_hue_np(input_colors, augment_hue_scale)
+        target_colors = colorspace.augment_hue_np(target_colors, augment_hue_scale)
+
+    if color_space == "lab":
+        # target colors encoded to [0, 255]-scaled lab01; input to [0,1] lab01
+        # (reference scene_dataloader.py:222-231)
+        tgt01 = colorspace.rgb_to_lab01(target_colors.astype(np.float32) / 255.0)
+        target_colors_f = (tgt01 * 255.0).astype(np.float32)
+        input_colors_f = colorspace.rgb_to_lab01(input_colors.astype(np.float32) / 255.0)
+    else:
+        target_colors_f = target_colors.astype(np.float32)
+        input_colors_f = input_colors.astype(np.float32) / 255.0
+
+    # reference scene_dataloader.py:242-253: -inf counts as empty, the mask
+    # marks observed-behind-surface voxels (input <= -1 within truncation)
+    with np.errstate(invalid="ignore"):
+        empty = np.abs(sdf_input) > truncation
+        mask = ((sdf_input <= -1) & ~empty).astype(np.float32)
+    sdf_in = np.clip(sdf_input, -truncation, truncation).astype(np.float32)
+    input_colors_f = np.where(empty[..., None], 0.0, input_colors_f).astype(np.float32)
+
+    sample = {
+        "input": np.concatenate([sdf_in[..., None], input_colors_f], axis=-1),
+        "mask": mask[..., None],
+        "target_sdf": sdf_target.astype(np.float32),
+        "target_colors": target_colors_f,
+        "world2grid": world2grid.astype(np.float32),
+    }
+    if semantics is not None:
+        sample["semantics"] = semantics.astype(np.uint8)
+    if known is not None:
+        sample["known"] = known.astype(np.uint8)
+    return sample
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack samples into a batch (reference scene_dataloader.py:15-47)."""
+    batch: Dict[str, np.ndarray] = {}
+    keys = set()
+    for s in samples:
+        keys.update(s.keys())
+    for k in keys:
+        if k == "name":
+            batch["name"] = [s.get("name") for s in samples]
+            continue
+        vals = [s[k] for s in samples if k in s]
+        if len(vals) != len(samples):
+            continue  # drop optional keys missing from any sample
+        batch[k] = np.stack(vals)
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# frame loading (reference torch/data_util.py:764-902)
+# ---------------------------------------------------------------------------
+
+
+def read_camera_file(camera_file: str):
+    """Pose (4x4 cam->world) + intrinsics rows from a camera txt
+    (reference data_util.py:774-787)."""
+    lines = open(camera_file).read().splitlines()
+    vals = np.asarray([l.split(" ")[:4] for l in lines], dtype=np.float32)
+    pose = vals[:4]
+    intrinsic = vals[4:8]
+    return pose, intrinsic
+
+
+def adjust_intrinsic(intrinsic: np.ndarray, from_dims, to_dims) -> np.ndarray:
+    """Rescale a 4x4 intrinsic matrix for resize+center-crop
+    (reference data_util.py:803-812)."""
+    if tuple(from_dims) == tuple(to_dims):
+        return intrinsic
+    intrinsic = intrinsic.copy()
+    resize_width = int(np.floor(to_dims[1] * float(from_dims[0]) / float(from_dims[1])))
+    intrinsic[0, 0] *= float(resize_width) / float(from_dims[0])
+    intrinsic[1, 1] *= float(to_dims[1]) / float(from_dims[1])
+    intrinsic[0, 2] *= float(to_dims[0] - 1) / float(from_dims[0] - 1)
+    intrinsic[1, 2] *= float(to_dims[1] - 1) / float(from_dims[1] - 1)
+    return intrinsic
+
+
+def _resize_crop(image: np.ndarray, new_dims, nearest=True) -> np.ndarray:
+    """Resize so height matches then center-crop width
+    (reference data_util.py:790-800). new_dims = (width, height)."""
+    from PIL import Image
+
+    h, w = image.shape[:2]
+    if (w, h) == tuple(new_dims):
+        return image
+    resize_width = int(np.floor(new_dims[1] * float(w) / float(h)))
+    im = Image.fromarray(image)
+    im = im.resize((resize_width, new_dims[1]), Image.NEAREST if nearest else Image.BILINEAR)
+    w2 = im.size[0]
+    if w2 != new_dims[0]:
+        left = (w2 - new_dims[0]) // 2
+        im = im.crop((left, 0, left + new_dims[0], new_dims[1]))
+    return np.array(im)
+
+
+def load_frame(depth_file, color_file, camera_file, image_dims, load_depth=True, load_color=True):
+    """One RGB-D frame: depth (H,W) meters, color (3,H,W) [0,1], pose,
+    intrinsics [fx,fy,mx,my] (reference data_util.py:837-859)."""
+    from PIL import Image
+
+    pose, intrinsic = read_camera_file(camera_file)
+    depth = None
+    color = None
+    orig_dims = None
+    if load_depth:
+        d = np.array(Image.open(depth_file))
+        orig_dims = [d.shape[1], d.shape[0]]
+        d = _resize_crop(d, image_dims, nearest=True)
+        depth = d.astype(np.float32) / 1000.0
+    if load_color:
+        c = np.array(Image.open(color_file).convert("RGB"))
+        orig_dims = [c.shape[1], c.shape[0]]
+        c = _resize_crop(c, image_dims, nearest=True)
+        color = np.transpose(c.astype(np.float32) / 255.0, (2, 0, 1))
+    if orig_dims is not None and list(image_dims) != orig_dims:
+        intrinsic = adjust_intrinsic(intrinsic, orig_dims, image_dims)
+    params = np.array(
+        [intrinsic[0, 0], intrinsic[1, 1], intrinsic[0, 2], intrinsic[1, 2]],
+        dtype=np.float32,
+    )
+    return depth, color, pose, params
+
+
+def read_frame_ids(frame_file: str, randomize: bool, max_num: int, rng=None):
+    """Frame-association ids for a chunk (reference data_util.py:764-771)."""
+    frames = [int(l) for l in open(frame_file).read().splitlines()]
+    frames = [f for f in frames if f != -1]
+    if randomize:
+        (rng or np.random.default_rng()).shuffle(frames)
+    return frames[:max_num]
+
+
+# ---------------------------------------------------------------------------
+# chunk dataset + prefetching iterator
+# ---------------------------------------------------------------------------
+
+
+class ChunkDataset:
+    """File-backed chunk dataset (reference SceneDataset chunk mode,
+    scene_dataloader.py:50-265).
+
+    Pairs ``__inc__`` inputs with ``__cmp__`` (or ``__sem__`` when
+    load_semantic) targets; loads known/colors inline from the chunk files."""
+
+    def __init__(
+        self,
+        files: Sequence[str],
+        truncation: float = 3.0,
+        color_space: str = "lab",
+        augment_hue: bool = True,
+        aug_scale_range=(0.5, 1.5),
+        color_truncation: float = 0.0,
+        load_semantic: bool = False,
+        frame_info_path: str = "",
+        frame_path: str = "",
+        image_dims=(320, 256),
+        load_depth: bool = False,
+        randomize_frames: bool = True,
+        num_overfit: int = 0,
+        seed: int = 0,
+    ):
+        tgt_tag = "__sem__" if load_semantic else "__cmp__"
+        self.pairs = [
+            (f, f.replace("__inc__", tgt_tag))
+            for f in files
+            if os.path.isfile(f) and os.path.isfile(f.replace("__inc__", tgt_tag))
+        ]
+        if num_overfit > 0 and self.pairs:
+            self.pairs = self.pairs * max(1, num_overfit // len(self.pairs))
+        self.truncation = truncation
+        self.color_space = color_space
+        self.augment_hue = augment_hue
+        self.aug_scale_range = aug_scale_range
+        self.color_truncation = color_truncation
+        self.load_semantic = load_semantic
+        self.frame_info_path = frame_info_path
+        self.frame_path = frame_path
+        self.image_dims = image_dims
+        self.load_depth = load_depth
+        self.randomize_frames = randomize_frames
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        inc_file, tgt_file = self.pairs[idx]
+        name = os.path.splitext(os.path.basename(inc_file))[0]
+        tgt = formats.load_sdf(
+            tgt_file, load_known=True, load_color=True, load_semantic=self.load_semantic
+        )
+        inp = formats.load_sdf(inc_file, load_known=False, load_color=True)
+        dims = tgt.dims
+        if self.color_truncation > 0:
+            m = np.abs(inp.sdf) > self.color_truncation
+            locs = inp.locs[m]
+            inp.colors[locs[:, 0], locs[:, 1], locs[:, 2], :] = 0
+        in_bounds = (
+            (inp.locs[:, 0] < dims[0]) & (inp.locs[:, 1] < dims[1]) & (inp.locs[:, 2] < dims[2])
+        )
+        locs, sdf = inp.locs[in_bounds], inp.sdf[in_bounds]
+        sdf_input = formats.sparse_to_dense(locs, sdf[:, None], dims, -np.inf)
+        sdf_target = formats.sparse_to_dense(tgt.locs, tgt.sdf[:, None], dims, -np.inf)
+
+        scale = None
+        if self.augment_hue:
+            lo, hi = self.aug_scale_range
+            scale = float(self.rng.random() * (hi - lo) + lo)
+        sample = assemble_sample(
+            sdf_input=sdf_input,
+            sdf_target=sdf_target,
+            input_colors=inp.colors,
+            target_colors=tgt.colors,
+            semantics=tgt.semantics,
+            known=tgt.known,
+            world2grid=tgt.world2grid,
+            truncation=self.truncation,
+            color_space=self.color_space,
+            augment_hue_scale=scale,
+        )
+        sample["name"] = name
+
+        if self.frame_info_path and self.frame_path:
+            frame = self._load_frame_for(name)
+            if frame is None:
+                sample["frames_missing"] = np.array(True)
+            else:
+                depth, color, pose, intr = frame
+                if self.color_space == "lab":
+                    c = np.transpose(color, (1, 2, 0))
+                    c = colorspace.rgb_to_lab01(c)
+                    color = np.transpose(c, (2, 0, 1)).astype(np.float32)
+                sample["images_depth"] = depth
+                sample["images_color"] = color
+                sample["images_view"] = (sample["world2grid"] @ pose).astype(np.float32)
+                sample["images_intrinsic"] = intr
+        return sample
+
+    def _load_frame_for(self, name: str):
+        scene = name.split("_room")[0]
+        frame_file = os.path.join(
+            self.frame_info_path, name.replace("__inc__", "__cmp__") + ".txt"
+        )
+        if self.frame_path == "self":
+            ids = [int(name.split("__inc__")[1])]
+        else:
+            if not os.path.isfile(frame_file):
+                return None
+            ids = read_frame_ids(frame_file, self.randomize_frames, 1, self.rng)
+        if not ids:
+            return None
+        f = ids[0]
+        base = os.path.join(self.frame_path, scene)
+        try:
+            return load_frame(
+                os.path.join(base, "depth", f"{f}.png"),
+                os.path.join(base, "color", f"{f}.jpg"),
+                os.path.join(base, "camera", f"{f}.txt"),
+                self.image_dims,
+                load_depth=self.load_depth,
+            )
+        except (OSError, ValueError):
+            return None
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_remainder: bool = True,
+    num_prefetch: int = 4,
+    num_workers: int = 4,
+):
+    """Thread-prefetched batch iterator replacing torch DataLoader
+    (reference train.py:196-211). Drops undersized trailing batches like the
+    reference's skip at train.py:425-427."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    batches = [
+        order[i : i + batch_size]
+        for i in range(0, len(order) - (batch_size - 1 if drop_remainder else 0), batch_size)
+    ]
+
+    q: "queue.Queue" = queue.Queue(maxsize=num_prefetch)
+    stop = threading.Event()
+
+    def _producer():
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            futs = [ex.submit(lambda b=b: collate([dataset[i] for i in b])) for b in batches]
+            for fut in futs:
+                if stop.is_set():
+                    return
+                q.put(fut.result())
+        q.put(None)
+
+    t = threading.Thread(target=_producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+    finally:
+        stop.set()

@@ -1,0 +1,225 @@
+"""Two-branch volumetric generator (Flax rebuild of reference
+torch/model.py:167-396).
+
+Architecture (see reference model.png): a geometry encoder-decoder over the
+truncated-SDF channel producing occupancy + refined SDF, and a color/semantics
+encoder-decoder over masked colors that consumes the geometry decoder's
+features (``pass_geo_feats``) and a U-Net skip (``encoded_half``), with
+nearest-neighbor x2 upsampling. Heads: color (3ch, clamped to [-1,1]) and
+semantics (14ch logits).
+
+TPU-first differences from the reference:
+  * channel-last NDHWC layout (B, Z, Y, X, C) so XLA tiles convs onto the MXU;
+  * fully shape-polymorphic (the reference's ``update_sizes`` is unnecessary —
+    any multiple-of-4 volume works);
+  * optional bfloat16 compute with float32 params/BN statistics.
+
+Parity notes: conv->LeakyReLU(0.2)->BatchNorm ordering, BatchNorm
+momentum/eps = torch defaults (0.1/1e-5 -> flax momentum 0.9), torch
+kaiming-uniform(a=sqrt(5)) init, per-layer kernel sizes kz/dilations as built
+at model.py:183-191 for a z-extent > 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NUM_CLASSES = 14
+
+
+def torch_kernel_init():
+    # torch Conv3d default: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in))
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class ConvBlock(nn.Module):
+    """Conv3d -> optional LeakyReLU(0.2) -> optional BatchNorm (reference
+    ordering inside every nn.Sequential of model.py)."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    act: bool = True
+    bn: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = [(self.padding, self.padding)] * 3
+        x = nn.Conv(
+            self.features,
+            kernel_size=self.kernel,
+            strides=(self.stride,) * 3,
+            padding=pad,
+            kernel_dilation=(self.dilation,) * 3,
+            kernel_init=torch_kernel_init(),
+            dtype=self.dtype,
+        )(x)
+        if self.act:
+            x = nn.leaky_relu(x, negative_slope=0.2)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+            )(x)
+        return x
+
+
+def upsample2x(x):
+    """Nearest-neighbor x2 in all three spatial dims (reference
+    F.interpolate(scale_factor=2, mode='nearest'), model.py:358)."""
+    x = jnp.repeat(x, 2, axis=1)
+    x = jnp.repeat(x, 2, axis=2)
+    x = jnp.repeat(x, 2, axis=3)
+    return x
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    nf: int = 20  # reference --nf_gen default (train.py:96)
+    nf_in_geo: int = 1
+    nf_in_color: int = 4  # 3 + input mask channel (train.py:153)
+    pass_geo_feats: bool = True
+    truncation: float = 3.0
+    max_dilation: int = 1
+    input_mask: bool = True  # nf_in_color > 3 (model.py:172)
+    num_classes: int = NUM_CLASSES
+    dtype: Optional[str] = None  # 'bfloat16' for MXU-friendly compute
+
+
+class Generator(nn.Module):
+    cfg: GeneratorConfig = GeneratorConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: jax.Array,
+        pred_color: bool,
+        pred_sdf: bool = True,
+        pred_semantic: bool = False,
+        train: bool = True,
+    ):
+        """Args: x (B,Z,Y,X,4) = [tsdf, color x3]; mask (B,Z,Y,X,1).
+        Returns (occ_logits (B,Z,Y,X,1), sdf (B,Z,Y,X,1), color, semantic)
+        — color/semantic are None unless requested (reference forward,
+        model.py:345-396)."""
+        cfg = self.cfg
+        nf = cfg.nf
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+        d = cfg.max_dilation
+        dil = [min(2, d), min(4, d), min(8, d), min(16, d)]
+
+        if cfg.input_mask:
+            x = jnp.concatenate([x, mask], axis=-1)
+        x_geo = x[..., :1]
+        # zero out truncated-empty voxels (model.py:352)
+        x_geo = jnp.where(jnp.abs(x_geo) >= cfg.truncation - 0.01, 0.0, x_geo)
+        if dtype is not None:
+            x_geo = x_geo.astype(dtype)
+
+        # === geometry branch (model.py:194-242) ===
+        g = ConvBlock(nf // 2, (5, 5, 5), 1, 2, dtype=dtype, name="geo_0a")(x_geo, train)
+        g = ConvBlock(nf, (4, 4, 4), 2, 1, dtype=dtype, name="geo_0b")(g, train)
+        g = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_0c")(g, train)
+        g = ConvBlock(2 * nf, (4, 4, 4), 2, 1, dtype=dtype, name="geo_1a")(g, train)
+        g = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_1b")(g, train)
+        g = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_1c")(g, train)
+        g = ConvBlock(
+            2 * nf, (3, 3, 3), 1, dil[0], dilation=dil[0], dtype=dtype, name="geo_1d"
+        )(g, train)
+        g = upsample2x(g)
+        g = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_2a")(g, train)
+        g = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_2b")(g, train)
+        geo = upsample2x(g)
+
+        occ = ConvBlock(nf // 2, (3, 3, 3), 1, 1, dtype=dtype, name="geo_occ_a")(geo, train)
+        out_occ = ConvBlock(1, (3, 3, 3), 1, 1, act=False, bn=False, name="geo_occ_b")(
+            occ, train
+        )
+        s = ConvBlock(nf // 2, (3, 3, 3), 1, 1, dtype=dtype, name="geo_3a")(geo, train)
+        s = ConvBlock(nf // 2, (3, 3, 3), 1, 1, dtype=dtype, name="geo_3b")(s, train)
+        out_sdf = ConvBlock(1, (3, 3, 3), 1, 1, act=False, bn=False, name="geo_3c")(s, train)
+
+        out_color = None
+        out_semantic = None
+        if pred_color or pred_semantic:
+            # === color/semantics branch (model.py:244-325, 364-394) ===
+            x_color = x[..., 1:4] * 2.0 - 1.0
+            if cfg.input_mask:
+                m = x[..., 4:]
+                masked_x = x_color * (1.0 - m) + m
+                enc_in = jnp.concatenate([masked_x, m], axis=-1)
+            else:
+                enc_in = x_color
+            if dtype is not None:
+                enc_in = enc_in.astype(dtype)
+            e = ConvBlock(nf, (5, 5, 5), 1, 2, dtype=dtype, name="encoder_0a")(enc_in, train)
+            e = ConvBlock(2 * nf, (4, 4, 4), 2, 1, dtype=dtype, name="encoder_0b")(e, train)
+            e = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="encoder_0c")(e, train)
+            if cfg.pass_geo_feats:
+                pg = ConvBlock(nf, (4, 4, 4), 2, 1, dtype=dtype, name="encoder_geo")(
+                    geo, train
+                )
+                e = jnp.concatenate([e, pg], axis=-1)
+            encoded_half = e
+            e = ConvBlock(5 * nf, (4, 4, 4), 2, 1, dtype=dtype, name="encoder_1a")(e, train)
+            e = ConvBlock(5 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="encoder_1b")(e, train)
+            e = ConvBlock(5 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="encoder_1c")(e, train)
+            dec = upsample2x(e)
+            dec = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_2a")(dec, train)
+            dec = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_2b")(dec, train)
+            dec = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_2c")(dec, train)
+            dec = jnp.concatenate([dec, encoded_half], axis=-1)
+            dec = upsample2x(dec)
+            dec = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3a")(dec, train)
+            dec = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3b")(dec, train)
+            dec = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3c")(dec, train)
+            dec = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3d")(dec, train)
+            dec = ConvBlock(nf, (3, 3, 3), 1, 1, act=False, bn=False, dtype=dtype, name="decoder_3e")(
+                dec, train
+            )
+            dec = jnp.concatenate([dec, x.astype(dec.dtype)], axis=-1)
+
+            if pred_color:
+                c = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=dtype, name="color_head_bn0",
+                )(dec)
+                c = nn.leaky_relu(c, 0.2)
+                c = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="color_head_a")(c, train)
+                c = ConvBlock(nf // 2, (3, 3, 3), 1, 1, dtype=dtype, name="color_head_b")(c, train)
+                c = ConvBlock(3, (3, 3, 3), 1, 1, act=False, bn=False, name="color_head_c")(
+                    c, train
+                )
+                out_color = jnp.clip(c, -1.0, 1.0)
+
+            if pred_semantic:
+                t = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=dtype, name="semantic_head_bn0",
+                )(dec)
+                t = nn.leaky_relu(t, 0.2)
+                t = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="semantic_head_a")(t, train)
+                t = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="semantic_head_b")(t, train)
+                out_semantic = ConvBlock(
+                    cfg.num_classes, (3, 3, 3), 1, 1, act=False, bn=False, name="semantic_head_c"
+                )(t, train)
+
+        out_occ = out_occ.astype(jnp.float32)
+        out_sdf = out_sdf.astype(jnp.float32)
+        if out_color is not None:
+            out_color = out_color.astype(jnp.float32)
+        if out_semantic is not None:
+            out_semantic = out_semantic.astype(jnp.float32)
+        return out_occ, out_sdf, out_color, out_semantic
+
+
+def count_params(params) -> int:
+    return sum(int(jnp.size(p)) for p in jax.tree_util.tree_leaves(params))

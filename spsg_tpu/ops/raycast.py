@@ -1,0 +1,465 @@
+"""Differentiable TSDF raycaster (TPU-native rebuild of the reference CUDA
+kernel torch/utils/raycast_rgbd/raycast_rgbd_cuda_kernel.cu).
+
+Renders a batched dense TSDF volume with per-voxel color / normal / semantic
+attributes into per-view images. Semantics match the reference:
+
+  * pinhole camera: ray through pixel (x, y) has camera-space direction
+    ``normalize(((x-mx)/fx, (y-my)/fy, 1))`` (kernel ``kinectDepthToSkeleton``,
+    raycast_rgbd_cuda_kernel.cu:72-85); the view matrix maps camera -> grid
+    (the reference passes ``world2grid @ pose`` straight through,
+    raycast_rgbd.py:77-85).
+  * sphere trace with fixed ``ray_increment``; surface = sign change of the
+    trilinearly-interpolated SDF between consecutive valid samples, refined by
+    3 bisection iterations (kernel :159-263). A sample is valid only if all 8
+    interpolation neighbors are valid surface voxels.
+  * pixel attributes are taken from the **nearest** voxel at the refined hit
+    position (kernel :129 fills attrs from ``getVoxel`` of the un-offset
+    position); depth = hit ray length converted to camera z.
+  * invalid pixels hold ``-inf`` (kernel :276-285). A hit whose voxel normal
+    is exactly zero keeps ``-inf`` normal (kernel :220-224).
+  * **gradients**: the backward pass scatters each pixel's gradient to its hit
+    voxel's attributes, averaged over the number of pixels that hit the voxel
+    (kernel raycast_rgbd_cuda_backward_kernel :365-423; depth grad -> sdf
+    value of the hit voxel). No gradient flows through ray geometry, view
+    matrices, or intrinsics (autograd boundary raycast_rgbd.py:37-43). We
+    implement this exactly with a ``jax.custom_vjp`` + ``segment_sum``; unlike
+    the reference we have no ``maxPixelsPerVoxel=64`` cap — the average is
+    over *all* hitting pixels (strictly more accurate).
+
+TPU-first design notes: instead of one CUDA thread per pixel with
+data-dependent loop exits, all rays march in lockstep as (B, H*W) vectors
+inside a ``lax.while_loop`` whose trip count is bounded by the ray-AABB
+intersection (rays that miss the volume or have found their surface stop
+contributing); every step is 8 vectorized gathers from the flattened volume.
+Everything is fully jittable with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -float("inf")
+NUM_CLASSES = 14
+
+
+@dataclasses.dataclass(frozen=True)
+class RaycastConfig:
+    """Raycast parameters (reference train.py:134-148). Depth units are voxels
+    (depth_min/depth_max are divided by voxelsize by the caller)."""
+
+    width: int = 320
+    height: int = 256
+    depth_min: float = 0.1 / 0.02
+    depth_max: float = 6.0 / 0.02
+    ray_increment: float = 0.9  # 0.3 * truncation
+    thresh_sample_dist: float = 50.5 * 0.9
+    max_dir_slack: float = 1.45  # bounds depthToRayLength for the step count
+    bisection_iters: int = 3
+
+    @property
+    def max_steps(self) -> int:
+        return int(
+            math.ceil(
+                (self.depth_max - self.depth_min) * self.max_dir_slack / self.ray_increment
+            )
+        )
+
+
+class RaycastOutput(NamedTuple):
+    color: jax.Array  # (B, H, W, 3), -inf invalid
+    depth: jax.Array  # (B, H, W), -inf invalid, voxel units
+    normal: jax.Array  # (B, H, W, 3), -inf invalid
+    semantic: jax.Array  # (B, H, W, 14), -inf invalid
+
+
+def _camera_rays(view, intrinsics, width, height):
+    """Per-pixel grid-space origins/directions. view: (B,4,4) cam->grid,
+    intrinsics: (B,4) = [fx, fy, mx, my]. Returns (origin (B,3), dir (B,P,3)
+    normalized, cam_z (B,P) = z-component of the normalized camera ray,
+    i.e. 1/depthToRayLength)."""
+    px = jnp.arange(width, dtype=jnp.float32)
+    py = jnp.arange(height, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(px, py, indexing="xy")  # (H, W)
+    gx = gx.reshape(-1)
+    gy = gy.reshape(-1)
+    fx, fy, mx, my = (intrinsics[:, i][:, None] for i in range(4))
+    cx = (gx[None, :] - mx) / fx
+    cy = (gy[None, :] - my) / fy
+    cz = jnp.ones_like(cx)
+    cam_dir = jnp.stack([cx, cy, cz], axis=-1)
+    cam_dir = cam_dir / jnp.linalg.norm(cam_dir, axis=-1, keepdims=True)
+    cam_z = cam_dir[..., 2]
+    rot = view[:, :3, :3]
+    origin = view[:, :3, 3]
+    world_dir = jnp.einsum("bij,bpj->bpi", rot, cam_dir)
+    world_dir = world_dir / jnp.linalg.norm(world_dir, axis=-1, keepdims=True)
+    return origin, world_dir, cam_z
+
+
+def _flat_index(ix, iy, iz, dims):
+    Z, Y, X = dims
+    return (iz * Y + iy) * X + ix
+
+
+def _gather(flat_vol, idx):
+    """flat_vol (B, N) or (B, N, C); idx (B, P) -> (B, P[, C])."""
+    return jnp.take_along_axis(
+        flat_vol, idx[..., None] if flat_vol.ndim == 3 else idx, axis=1, mode="clip"
+    )
+
+
+def _trilerp_sdf(flat_sdf, flat_valid, pos_x, pos_y, pos_z, dims):
+    """Trilinear SDF interpolation; valid only when all 8 neighbors are valid
+    surface voxels (reference trilinearInterpolationSimpleFastFast,
+    raycast_rgbd_cuda_kernel.cu:120-156). Returns (value (B,P), ok (B,P))."""
+    Z, Y, X = dims
+    bx = jnp.floor(pos_x)
+    by = jnp.floor(pos_y)
+    bz = jnp.floor(pos_z)
+    wx = pos_x - bx
+    wy = pos_y - by
+    wz = pos_z - bz
+    bx = bx.astype(jnp.int32)
+    by = by.astype(jnp.int32)
+    bz = bz.astype(jnp.int32)
+
+    val = jnp.zeros_like(pos_x)
+    ok = jnp.ones(pos_x.shape, dtype=bool)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                ix = bx + dx
+                iy = by + dy
+                iz = bz + dz
+                inb = (
+                    (ix >= 0) & (iy >= 0) & (iz >= 0) & (ix < X) & (iy < Y) & (iz < Z)
+                )
+                idx = _flat_index(
+                    jnp.clip(ix, 0, X - 1),
+                    jnp.clip(iy, 0, Y - 1),
+                    jnp.clip(iz, 0, Z - 1),
+                    dims,
+                )
+                v = _gather(flat_sdf, idx)
+                vv = _gather(flat_valid, idx)
+                w = (
+                    (wx if dx else (1.0 - wx))
+                    * (wy if dy else (1.0 - wy))
+                    * (wz if dz else (1.0 - wz))
+                )
+                val = val + w * v
+                ok = ok & inb & vv
+    return val, ok
+
+
+def _ray_aabb(origin, direction, dims):
+    """Per-ray [t_enter, t_exit] against the grid AABB (slab method); used to
+    bound the march — a TPU-side improvement over the reference's full-range
+    loop."""
+    lo = jnp.zeros((3,), jnp.float32) - 1.0
+    hi = jnp.array([dims[2], dims[1], dims[0]], jnp.float32)  # x, y, z extents
+    o = origin[:, None, :]
+    d = direction
+    inv = jnp.where(jnp.abs(d) > 1e-9, 1.0 / d, jnp.sign(d) * 1e9 + 1e9)
+    t0 = (lo - o) * inv
+    t1 = (hi - o) * inv
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return tmin, tmax
+
+
+def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
+    """Non-differentiable surface search. Returns a dict with per-pixel:
+    hit (B,P) bool, alpha (B,P) ray length, hit voxel flat index (B,P) int32.
+
+    sdf: (B, Z, Y, X) float32 (voxel units); valid: (B, Z, Y, X) bool.
+    """
+    B = sdf.shape[0]
+    dims = sdf.shape[1:4]
+    P = cfg.width * cfg.height
+    flat_sdf = sdf.reshape(B, -1)
+    flat_valid = valid.reshape(B, -1)
+
+    origin, direction, cam_z = _camera_rays(view, intrinsics, cfg.width, cfg.height)
+    # rayCurrent/rayEnd in ray-length units (kernel :194-197)
+    t_start = cfg.depth_min / cam_z
+    t_end = cfg.depth_max / cam_z
+    t_enter, t_exit = _ray_aabb(origin, direction, dims)
+    # skip empty space before the volume (snapped to the global step grid so
+    # results stay step-aligned per pixel)
+    skip = jnp.maximum(jnp.floor((t_enter - t_start) / cfg.ray_increment), 0.0)
+    t0 = t_start + skip * cfg.ray_increment
+    t_stop = jnp.minimum(t_end, t_exit + cfg.ray_increment)
+
+    ox = origin[:, None, 0]
+    oy = origin[:, None, 1]
+    oz = origin[:, None, 2]
+    dx = direction[..., 0]
+    dy = direction[..., 1]
+    dz = direction[..., 2]
+
+    def sample(t):
+        return _trilerp_sdf(
+            flat_sdf, flat_valid, ox + t * dx, oy + t * dy, oz + t * dz, dims
+        )
+
+    d0, ok0 = sample(t0)
+
+    init = dict(
+        k=jnp.zeros((), jnp.int32),
+        prev_sdf=d0,
+        prev_ok=ok0,
+        found=jnp.zeros((B, P), bool),
+        t_lo=jnp.zeros((B, P), jnp.float32),
+        d_lo=jnp.zeros((B, P), jnp.float32),
+        t_hi=jnp.zeros((B, P), jnp.float32),
+        d_hi=jnp.zeros((B, P), jnp.float32),
+    )
+
+    def cond(c):
+        t = t0 + (c["k"] + 1).astype(jnp.float32) * cfg.ray_increment
+        alive = ~c["found"] & (t <= t_stop)
+        return (c["k"] < cfg.max_steps) & jnp.any(alive)
+
+    def body(c):
+        t = t0 + (c["k"] + 1).astype(jnp.float32) * cfg.ray_increment
+        d, ok = sample(t)
+        in_range = t <= t_stop
+        crossing = (
+            ok
+            & c["prev_ok"]
+            & in_range
+            & (c["prev_sdf"] * d < 0)
+            & (jnp.abs(c["prev_sdf"] - d) < cfg.thresh_sample_dist)
+            & (jnp.abs(d) < cfg.thresh_sample_dist)
+        )
+        record = crossing & ~c["found"]
+        t_prev = t - cfg.ray_increment
+        return dict(
+            k=c["k"] + 1,
+            prev_sdf=d,
+            prev_ok=ok & in_range,
+            found=c["found"] | record,
+            t_lo=jnp.where(record, t_prev, c["t_lo"]),
+            d_lo=jnp.where(record, c["prev_sdf"], c["d_lo"]),
+            t_hi=jnp.where(record, t, c["t_hi"]),
+            d_hi=jnp.where(record, d, c["d_hi"]),
+        )
+
+    c = jax.lax.while_loop(cond, body, init)
+    found = c["found"]
+
+    # bisection refinement (kernel findIntersectionBisection :166-187)
+    a, da = c["t_lo"], c["d_lo"]
+    b, db = c["t_hi"], c["d_hi"]
+    ok_bis = found
+    cmid = b
+    for _ in range(cfg.bisection_iters):
+        denom = jnp.where(jnp.abs(da - db) > 1e-12, da - db, 1e-12)
+        cmid = a + (da / denom) * (b - a)
+        dmid, okm = sample(cmid)
+        ok_bis = ok_bis & okm
+        go_a = da * dmid > 0
+        a = jnp.where(go_a, cmid, a)
+        da = jnp.where(go_a, dmid, da)
+        b = jnp.where(go_a, b, cmid)
+        db = jnp.where(go_a, db, dmid)
+    alpha = cmid
+
+    # nearest voxel at the refined position (kernel :241; attrs from :129)
+    hx = ox + alpha * dx
+    hy = oy + alpha * dy
+    hz = oz + alpha * dz
+    ix = jnp.floor(hx + 0.5).astype(jnp.int32)
+    iy = jnp.floor(hy + 0.5).astype(jnp.int32)
+    iz = jnp.floor(hz + 0.5).astype(jnp.int32)
+    Z, Y, X = dims
+    inb = (ix >= 0) & (iy >= 0) & (iz >= 0) & (ix < X) & (iy < Y) & (iz < Z)
+    idx = _flat_index(
+        jnp.clip(ix, 0, X - 1), jnp.clip(iy, 0, Y - 1), jnp.clip(iz, 0, Z - 1), dims
+    )
+    hit_ok = _gather(flat_valid, idx)
+    hit = found & ok_bis & inb & hit_ok
+    depth = alpha * cam_z  # ray length -> camera z (kernel :215)
+    return dict(hit=hit, alpha=alpha, depth=depth, hit_idx=idx)
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper
+# ---------------------------------------------------------------------------
+
+
+def _forward_images(flat_attrs, hit, hit_idx, depth, cfg):
+    """Assemble output images from hit voxels (gather). flat_attrs:
+    (sdf (B,N), color (B,N,3), normal (B,N,3), semantic (B,N,14))."""
+    _, color, normal, semantic = flat_attrs
+    B = color.shape[0]
+    hw = (B, cfg.height, cfg.width)
+
+    def img(vals, nc):
+        out = _gather(vals, hit_idx)
+        out = jnp.where(hit[..., None], out, NEG_INF)
+        return out.reshape(hw + (nc,))
+
+    color_im = img(color, 3)
+    sem_im = img(semantic, NUM_CLASSES)
+    normal_im = _gather(normal, hit_idx)
+    # zero normal -> stays invalid (kernel :220-224)
+    nz = jnp.any(normal_im != 0.0, axis=-1)
+    normal_im = jnp.where((hit & nz)[..., None], normal_im, NEG_INF)
+    normal_im = normal_im.reshape(hw + (3,))
+    depth_im = jnp.where(hit, depth, NEG_INF).reshape(hw)
+    return RaycastOutput(color_im, depth_im, normal_im, sem_im)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _raycast_attrs(sdf_flat, color_flat, normal_flat, semantic_flat, hit, hit_idx, depth, cfg):
+    return _forward_images((sdf_flat, color_flat, normal_flat, semantic_flat), hit, hit_idx, depth, cfg)
+
+
+def _raycast_attrs_fwd(sdf_flat, color_flat, normal_flat, semantic_flat, hit, hit_idx, depth, cfg):
+    out = _forward_images((sdf_flat, color_flat, normal_flat, semantic_flat), hit, hit_idx, depth, cfg)
+    n = sdf_flat.shape[1]
+    residuals = (hit, hit_idx, n)
+    return out, residuals
+
+
+def _raycast_attrs_bwd(cfg, residuals, g):
+    """Scatter pixel grads to hit voxels, averaged per voxel (reference
+    backward kernel raycast_rgbd_cuda_kernel.cu:365-423)."""
+    hit, hit_idx, n = residuals
+    g_color, g_depth, g_normal, g_semantic = g
+    B = hit.shape[0]
+    P = hit.shape[1]
+    idx = jnp.where(hit, hit_idx, n)  # invalid pixels scatter to a dump slot
+
+    ones = hit.astype(jnp.float32)
+    counts = jax.vmap(lambda i, o: jnp.zeros((n + 1,), jnp.float32).at[i].add(o))(idx, ones)
+    counts = jnp.maximum(counts[:, :n], 1.0)
+
+    def scatter(gimg, nc):
+        gflat = gimg.reshape(B, P, nc)
+        gflat = jnp.where(hit[..., None] & jnp.isfinite(gflat), gflat, 0.0)
+        acc = jax.vmap(
+            lambda i, v: jnp.zeros((n + 1, nc), v.dtype).at[i].add(v)
+        )(idx, gflat)
+        return acc[:, :n] / counts[..., None]
+
+    d_color = scatter(g_color, 3)
+    d_semantic = scatter(g_semantic, NUM_CLASSES)
+    d_normal = scatter(g_normal, 3)
+    d_sdf = scatter(g_depth[..., None], 1)[..., 0]
+    return d_sdf, d_color, d_normal, d_semantic, None, None, None
+
+
+_raycast_attrs.defvjp(_raycast_attrs_fwd, _raycast_attrs_bwd)
+
+
+def raycast(
+    sdf: jax.Array,
+    valid: jax.Array,
+    color: Optional[jax.Array],
+    normal: Optional[jax.Array],
+    semantic: Optional[jax.Array],
+    view: jax.Array,
+    intrinsics: jax.Array,
+    cfg: RaycastConfig,
+) -> RaycastOutput:
+    """Differentiable raycast of a dense batched TSDF.
+
+    Args:
+      sdf:       (B, Z, Y, X) float32, voxel units.
+      valid:     (B, Z, Y, X) bool — surface voxels (the reference's sparse
+                 locs set, |sdf| < truncation).
+      color:     (B, Z, Y, X, 3) or None.
+      normal:    (B, Z, Y, X, 3) or None (typically grid-gradient normals in
+                 camera space, see losses).
+      semantic:  (B, Z, Y, X, 14) or None (class scores / one-hot).
+      view:      (B, 4, 4) camera-to-grid.
+      intrinsics:(B, 4) = [fx, fy, mx, my].
+
+    Gradients flow to sdf (via depth), color, normal, semantic only.
+    """
+    B = sdf.shape[0]
+    dims = sdf.shape[1:4]
+    n = int(np.prod(dims))
+    hits = find_surface_crossings(
+        jax.lax.stop_gradient(sdf), valid, view, intrinsics, cfg
+    )
+    zeros3 = jnp.zeros((B, n, 3), sdf.dtype)
+    color_flat = color.reshape(B, n, 3) if color is not None else zeros3
+    normal_flat = normal.reshape(B, n, 3) if normal is not None else zeros3
+    semantic_flat = (
+        semantic.reshape(B, n, NUM_CLASSES)
+        if semantic is not None
+        else jnp.zeros((B, n, NUM_CLASSES), sdf.dtype)
+    )
+    # the depth image's cotangent routes to the hit voxel's sdf value inside
+    # _raycast_attrs_bwd (reference backward: d_depth accumulates into
+    # vals_sdf, raycast_rgbd.py:42)
+    sdf_flat = sdf.reshape(B, n)
+    out = _raycast_attrs(
+        sdf_flat,
+        color_flat,
+        normal_flat,
+        semantic_flat,
+        hits["hit"],
+        hits["hit_idx"],
+        hits["depth"],
+        cfg,
+    )
+    return out
+
+
+def raycast_occ(
+    occ: jax.Array, view: jax.Array, intrinsics: jax.Array, cfg: RaycastConfig
+) -> jax.Array:
+    """Binary occupancy raycast: 1 if any occupied voxel lies along the pixel
+    ray (reference raycast_occ_cuda_kernel :300-344; nearest-voxel lookup, no
+    interpolation). occ: (B, Z, Y, X) bool/uint8 -> (B, H, W) uint8."""
+    B = occ.shape[0]
+    dims = occ.shape[1:4]
+    Z, Y, X = dims
+    flat_occ = (occ.reshape(B, -1) != 0)
+
+    origin, direction, cam_z = _camera_rays(view, intrinsics, cfg.width, cfg.height)
+    t_start = cfg.depth_min / cam_z
+    t_end = cfg.depth_max / cam_z
+    t_enter, t_exit = _ray_aabb(origin, direction, dims)
+    skip = jnp.maximum(jnp.floor((t_enter - t_start) / cfg.ray_increment), 0.0)
+    t0 = t_start + skip * cfg.ray_increment
+    t_stop = jnp.minimum(t_end, t_exit + cfg.ray_increment)
+
+    def sample(t):
+        px = origin[:, None, 0] + t * direction[..., 0]
+        py = origin[:, None, 1] + t * direction[..., 1]
+        pz = origin[:, None, 2] + t * direction[..., 2]
+        ix = jnp.floor(px + 0.5).astype(jnp.int32)
+        iy = jnp.floor(py + 0.5).astype(jnp.int32)
+        iz = jnp.floor(pz + 0.5).astype(jnp.int32)
+        inb = (ix >= 0) & (iy >= 0) & (iz >= 0) & (ix < X) & (iy < Y) & (iz < Z)
+        idx = _flat_index(
+            jnp.clip(ix, 0, X - 1), jnp.clip(iy, 0, Y - 1), jnp.clip(iz, 0, Z - 1), dims
+        )
+        return _gather(flat_occ, idx) & inb
+
+    init = dict(k=jnp.zeros((), jnp.int32), hit=sample(t0))
+
+    def cond(c):
+        t = t0 + (c["k"] + 1).astype(jnp.float32) * cfg.ray_increment
+        return (c["k"] < cfg.max_steps) & jnp.any(~c["hit"] & (t <= t_stop))
+
+    def body(c):
+        t = t0 + (c["k"] + 1).astype(jnp.float32) * cfg.ray_increment
+        return dict(k=c["k"] + 1, hit=c["hit"] | (sample(t) & (t <= t_stop)))
+
+    c = jax.lax.while_loop(cond, body, init)
+    return c["hit"].reshape(B, cfg.height, cfg.width).astype(jnp.uint8)
