@@ -1,0 +1,110 @@
+"""Benchmark: full train-step throughput at the reference operating point.
+
+Measures train chunks/sec/chip for the flagship configuration — 64x64x128
+TSDF chunks (z-up 128), nf=20 generator, 3D occ/SDF/semantic losses + 2D
+view-guided losses (3 differentiable raycasts at 320x256) + patch-GAN
+discriminator update — i.e. the reference's full hot loop
+(torch/train.py:419-757) fused into one jitted TPU step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference repo publishes no numbers (BASELINE.md), so vs_baseline is
+measured against the driver's north-star target of 5x an A100 PyTorch
+baseline only when such a number becomes available; until then it is null.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=2)  # reference default (train.py:49)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--mode", choices=["full", "geo"], default="full")
+    args = p.parse_args()
+
+    from spsg_tpu.data import synthetic
+    from spsg_tpu.training import StepFlags, TrainConfig
+    from spsg_tpu.training.state import init_states
+    from spsg_tpu.training.step import Trainer
+
+    dims = (128, 64, 64)
+    full = args.mode == "full"
+    cfg = TrainConfig(
+        input_dim=dims,
+        batch_size=args.batch_size,
+        weight_disc_loss=0.5 if full else 0.0,
+        weight_depth_loss=1.0 if full else 0.0,
+        max_depth_fill_iters=0,  # synthetic frames are hole-free
+    )
+    print(f"[bench] building synthetic batch (dims={dims}, B={args.batch_size})", file=sys.stderr)
+    batch = synthetic.make_chunk_batch(
+        batch_size=cfg.batch_size,
+        dims=dims,
+        image_dims=(cfg.style_width, cfg.style_height),
+        seed=0,
+        with_frames=full,
+        truncation=cfg.truncation,
+    )
+    batch.pop("name", None)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch["weight_occ"] = jnp.ones(())
+
+    gen_state, disc_state = init_states(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg)
+    flags = StepFlags(
+        pred_sdf=True,
+        pred_color=True,
+        pred_semantic=True,
+        use_2d=full,
+        use_disc=full,
+    )
+
+    print("[bench] compiling + warmup", file=sys.stderr)
+    for i in range(args.warmup):
+        gen_state, disc_state, metrics = trainer.step(
+            gen_state, disc_state, batch, jax.random.PRNGKey(i), flags
+        )
+    jax.block_until_ready(metrics["loss"])
+
+    print(f"[bench] timing {args.steps} steps", file=sys.stderr)
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        gen_state, disc_state, metrics = trainer.step(
+            gen_state, disc_state, batch, jax.random.PRNGKey(100 + i), flags
+        )
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    step_time = dt / args.steps
+    chunks_per_sec = args.batch_size / step_time
+    n_chips = jax.device_count()
+    result = {
+        "metric": "train_chunks_per_sec_per_chip",
+        "value": round(chunks_per_sec / n_chips, 4),
+        "unit": "chunks/s/chip (64x64x128 TSDF, full 3D+2D+GAN step)"
+        if full
+        else "chunks/s/chip (64x64x128 TSDF, 3D losses)",
+        "vs_baseline": None,
+        "extra": {
+            "step_time_s": round(step_time, 4),
+            "batch_size": args.batch_size,
+            "mode": args.mode,
+            "device": str(jax.devices()[0]),
+            "loss": float(metrics["loss"]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -105,9 +105,11 @@ def make_scene(
     obj_labels = [1, 4, 6, 7, 9, 10]  # Bed, Chair, Furniture, Objects, Sofa, Table
     for _ in range(num_objects):
         label = int(rng.choice(obj_labels))
-        cz = floor_h + float(rng.integers(4, 14))
-        cy = float(rng.integers(wall_y + 8, dims[1] - 8))
-        cx = float(rng.integers(wall_x + 8, dims[2] - 8))
+        cz = floor_h + float(rng.integers(4, max(5, min(14, dims[0] - int(floor_h) - 2))))
+        ylo = int(min(wall_y + 8, dims[1] - 9)) if dims[1] > 17 else 4
+        xlo = int(min(wall_x + 8, dims[2] - 9)) if dims[2] > 17 else 4
+        cy = float(rng.integers(ylo, max(ylo + 1, dims[1] - 8)))
+        cx = float(rng.integers(xlo, max(xlo + 1, dims[2] - 8)))
         color = rng.uniform(0.2, 0.9, size=3)
         if rng.random() < 0.5:
             r = float(rng.integers(4, 10))
@@ -139,7 +141,7 @@ def make_scene(
             float(rng.integers(0, dims[1])),
             float(rng.integers(0, dims[2])),
         )
-        hr = float(rng.integers(8, max(10, min(dims) // 2)))
+        hr = float(rng.integers(4, max(6, min(dims) // 2)))
         hole = _sd_sphere(z, y, x, hc, hr) < 0
         observed &= ~hole
     sdf_input = np.where(observed, sdf, -np.inf).astype(np.float32)
@@ -242,6 +244,7 @@ def make_chunk_batch(
     batch = pipeline.collate(samples)
 
     if with_frames:
+        import jax
         import jax.numpy as jnp
 
         views = []
@@ -263,15 +266,15 @@ def make_chunk_batch(
             ray_increment=0.3 * truncation,
             thresh_sample_dist=50.5 * 0.3 * truncation,
         )
-        out = raycast_mod.raycast(
+        render = jax.jit(
+            lambda s, v, c, vw, i: raycast_mod.raycast(s, v, c, None, None, vw, i, cfg)
+        )
+        out = render(
             jnp.asarray(sdf_t),
             jnp.asarray(valid),
             jnp.asarray(colors01),
-            None,
-            None,
             jnp.asarray(views),
             jnp.asarray(intr),
-            cfg,
         )
         depth = np.asarray(out.depth)
         color = np.asarray(out.color)

@@ -10,6 +10,7 @@ reference's early-exit loop (depth_utils.py:84-94).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -35,7 +36,7 @@ def bilateral_filter(depth: jax.Array, sigma_d: float = 2.0, sigma_r: float = 0.
     depth_utils_cuda_kernel.cu:41-86). depth: (B, H, W), 0 = hole. Holes stay
     0; valid pixels get the range-weighted Gaussian average of valid
     neighbors."""
-    radius = int(jnp.ceil(2.0 * sigma_d))
+    radius = int(math.ceil(2.0 * sigma_d))
     k = 2 * radius + 1
     offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
@@ -127,7 +128,8 @@ def camera_space_normals(pts: jax.Array) -> jax.Array:
     cp = jnp.roll(pts, -1, axis=2)  # x+1
     cm = jnp.roll(pts, 1, axis=2)  # x-1
     n = jnp.cross(pc - mc, cp - cm)
-    l = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    l2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    l = jnp.sqrt(jnp.maximum(l2, 1e-24))
     some_valid = (
         (cc[..., 0] != 0)
         | (pc[..., 0] != 0)
@@ -135,7 +137,7 @@ def camera_space_normals(pts: jax.Array) -> jax.Array:
         | (mc[..., 0] != 0)
         | (cm[..., 0] != 0)
     )
-    out = jnp.where((l > 0.0) & some_valid[..., None], n / -jnp.maximum(l, 1e-12), 0.0)
+    out = jnp.where((l2 > 0.0) & some_valid[..., None], n / -l, 0.0)
     # border pixels undefined (cu:189)
     B, H, W, _ = pts.shape
     ys = jnp.arange(H)[None, :, None]

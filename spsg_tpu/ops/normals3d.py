@@ -51,5 +51,9 @@ def surface_normals(
     g = sdf_gradient(masked)
     if rotation is not None:
         g = jnp.einsum("bij,bzyxj->bzyxi", rotation, g)
-    norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
-    return -g / jnp.maximum(norm, 1e-5)
+    # safe norm: sqrt(max(|g|^2, eps^2)) has a finite gradient at g = 0,
+    # unlike norm(g) whose backward is 0 * inf = NaN there (this op is inside
+    # the generator's differentiable path via the raycaster's normal grid)
+    norm2 = jnp.sum(g * g, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(norm2, 1e-10))
+    return -g / norm

@@ -1,0 +1,131 @@
+"""Host-side training loop (reference torch/train.py:399-867, 1278-1323):
+epoch iteration, curriculum flag resolution, batch sharding, CSV logging,
+checkpointing, validation, phase timing."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import make_mesh, replicate_state, shard_batch
+from ..utils.logging import MetricsAccumulator, TrainLog
+from ..utils.timing import PhaseTimer
+from . import state as state_lib
+from .config import StepFlags, TrainConfig
+from .step import Trainer
+
+
+def _prepare_batch(batch, cfg: TrainConfig, it: int):
+    batch = dict(batch)
+    batch.pop("name", None)
+    batch.pop("frames_missing", None)
+    # curriculum occ weight (train.py:476)
+    w = 1.0 if it <= cfg.num_iters_geo_only else cfg.weight_occ_loss
+    batch["weight_occ"] = np.asarray(w, np.float32)
+    return batch
+
+
+def _has_frames(batch) -> bool:
+    return "images_depth" in batch and "images_color" in batch
+
+
+def run_training(
+    cfg: TrainConfig,
+    train_dataset,
+    val_dataset=None,
+    save_dir: str = "./logs",
+    max_epoch: Optional[int] = None,
+    start_epoch: int = 0,
+    start_iter: int = 0,
+    retrain: str = "",
+    log_every: int = 20,
+    ckpt_every_iters: int = 10000,
+    seed: int = 0,
+    vgg=None,
+):
+    """Train to max_epoch. Returns (gen_state, disc_state)."""
+    from ..data.pipeline import batch_iterator
+
+    os.makedirs(save_dir, exist_ok=True)
+    mesh = make_mesh()
+    trainer = Trainer(cfg, vgg=vgg)
+    gen_state, disc_state = state_lib.init_states(cfg, jax.random.PRNGKey(seed))
+    epoch0 = start_epoch
+    if retrain:
+        gen_state, disc_state, epoch0 = state_lib.load_checkpoint(
+            retrain, gen_state, disc_state
+        )
+        print(f"loaded checkpoint {retrain} (epoch {epoch0})")
+    gen_state = replicate_state(gen_state, mesh)
+    if disc_state is not None:
+        disc_state = replicate_state(disc_state, mesh)
+
+    log = TrainLog(save_dir, has_val=val_dataset is not None)
+    acc = MetricsAccumulator()
+    timer = PhaseTimer(report_every=100)
+    it = start_iter if start_iter > 0 else epoch0 * max(1, len(train_dataset) // cfg.batch_size)
+    rng = jax.random.PRNGKey(seed + 1)
+    max_epoch = max_epoch if max_epoch is not None else cfg.max_epoch
+
+    start = time.time()
+    for epoch in range(epoch0, max_epoch):
+        for batch in batch_iterator(
+            train_dataset, cfg.batch_size, shuffle=True, seed=seed + epoch
+        ):
+            with timer.phase("setup"):
+                have_frames = _has_frames(batch)
+                flags = StepFlags.for_iter(it, cfg, have_frames=have_frames)
+                if flags.use_2d and not have_frames:
+                    continue  # reference skip (train.py:428-432)
+                batch = _prepare_batch(batch, cfg, it)
+                batch = shard_batch(batch, mesh)
+                rng, krng = jax.random.split(rng)
+            with timer.phase("step"):
+                gen_state, disc_state, metrics = trainer.step(
+                    gen_state, disc_state, batch, krng, flags
+                )
+            it += 1
+            with timer.phase("log"):
+                acc.add(jax.device_get(metrics))
+                if it % log_every == 0:
+                    log.log_train(epoch, it, acc.means(), time.time() - start)
+                if ckpt_every_iters and it % ckpt_every_iters == 0:
+                    state_lib.save_checkpoint(
+                        os.path.join(save_dir, f"model-iter{it}-epoch{epoch}"),
+                        jax.device_get(gen_state),
+                        jax.device_get(disc_state) if disc_state is not None else None,
+                        epoch,
+                    )
+            timer.step()
+
+        # end of epoch: validation + checkpoint (train.py:1294-1320)
+        if val_dataset is not None:
+            val_acc = MetricsAccumulator()
+            for batch in batch_iterator(
+                val_dataset, cfg.batch_size, shuffle=False, seed=0
+            ):
+                have_frames = _has_frames(batch)
+                flags = StepFlags.for_iter(it, cfg, have_frames=have_frames, train=False)
+                if flags.use_2d and not have_frames:
+                    continue
+                batch = _prepare_batch(batch, cfg, it)
+                batch = shard_batch(batch, mesh)
+                rng, krng = jax.random.split(rng)
+                _, _, metrics = trainer.step(gen_state, disc_state, batch, krng, flags)
+                val_acc.add(jax.device_get(metrics))
+            log.log_val(epoch, it, acc.means(), val_acc.means(), time.time() - start)
+        acc.reset()
+        if (epoch + 1) % cfg.save_epoch == 0 or epoch + 1 == max_epoch:
+            state_lib.save_checkpoint(
+                os.path.join(save_dir, f"model-epoch{epoch}"),
+                jax.device_get(gen_state),
+                jax.device_get(disc_state) if disc_state is not None else None,
+                epoch + 1,
+            )
+    log.close()
+    return gen_state, disc_state

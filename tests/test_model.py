@@ -1,0 +1,117 @@
+"""Shape and parameter tests for the generator/discriminator (reference
+torch/model.py — parameter-count parity is checked against the torch layer
+arithmetic)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spsg_tpu.models import Discriminator2D, Generator, GeneratorConfig
+from spsg_tpu.models.discriminator import num_disc_layers
+from spsg_tpu.models.generator import count_params
+
+
+def _init(cfg, dims=(16, 16, 16)):
+    gen = Generator(cfg)
+    x = jnp.zeros((1,) + dims + (4,))
+    m = jnp.zeros((1,) + dims + (1,))
+    variables = gen.init(
+        jax.random.PRNGKey(0), x, m, pred_color=True, pred_sdf=True, pred_semantic=True,
+        train=False,
+    )
+    return gen, variables
+
+
+def test_generator_shapes():
+    cfg = GeneratorConfig(nf=4)
+    gen, variables = _init(cfg)
+    x = jnp.zeros((2, 16, 16, 16, 4))
+    m = jnp.zeros((2, 16, 16, 16, 1))
+    occ, sdf, color, sem = gen.apply(
+        variables, x, m, pred_color=True, pred_sdf=True, pred_semantic=True, train=False
+    )
+    assert occ.shape == (2, 16, 16, 16, 1)
+    assert sdf.shape == (2, 16, 16, 16, 1)
+    assert color.shape == (2, 16, 16, 16, 3)
+    assert sem.shape == (2, 16, 16, 16, 14)
+    assert np.abs(np.asarray(color)).max() <= 1.0
+
+
+def test_generator_geo_only_skips_color_branch():
+    cfg = GeneratorConfig(nf=4)
+    gen, variables = _init(cfg)
+    x = jnp.zeros((1, 16, 16, 16, 4))
+    m = jnp.zeros((1, 16, 16, 16, 1))
+    occ, sdf, color, sem = gen.apply(
+        variables, x, m, pred_color=False, pred_sdf=True, pred_semantic=False, train=False
+    )
+    assert color is None and sem is None
+
+
+def test_generator_fully_convolutional():
+    """Weights trained at chunk size must apply to any multiple-of-4 volume
+    (replaces the reference's update_sizes, model.py:342)."""
+    cfg = GeneratorConfig(nf=4)
+    gen, variables = _init(cfg, dims=(16, 16, 16))
+    x = jnp.zeros((1, 32, 24, 20, 4))
+    m = jnp.zeros((1, 32, 24, 20, 1))
+    occ, sdf, _, _ = gen.apply(
+        variables, x, m, pred_color=False, pred_sdf=True, train=False
+    )
+    assert occ.shape == (1, 32, 24, 20, 1)
+
+
+def test_generator_param_count_matches_reference_arithmetic():
+    """Parameter count of the geo branch with nf=20, computed from the torch
+    layer shapes (model.py:194-242): conv kernels are identical, so counts
+    must match exactly (conv weights + biases + BN scale/shift)."""
+    nf = 20
+
+    def conv(cin, cout, k):
+        return cin * cout * k[0] * k[1] * k[2] + cout
+
+    def bn(c):
+        return 2 * c
+
+    expect = 0
+    # geo_0
+    expect += conv(1, nf // 2, (5, 5, 5)) + bn(nf // 2)
+    expect += conv(nf // 2, nf, (4, 4, 4)) + bn(nf)
+    expect += conv(nf, nf, (3, 3, 3)) + bn(nf)
+    # geo_1
+    expect += conv(nf, 2 * nf, (4, 4, 4)) + bn(2 * nf)
+    expect += conv(2 * nf, 2 * nf, (3, 3, 3)) + bn(2 * nf)
+    expect += conv(2 * nf, 2 * nf, (3, 3, 3)) + bn(2 * nf)
+    expect += conv(2 * nf, 2 * nf, (3, 3, 3)) + bn(2 * nf)
+    # geo_2
+    expect += conv(2 * nf, nf, (3, 3, 3)) + bn(nf)
+    expect += conv(nf, nf, (3, 3, 3)) + bn(nf)
+    # geo_occ
+    expect += conv(nf, nf // 2, (3, 3, 3)) + bn(nf // 2)
+    expect += conv(nf // 2, 1, (3, 3, 3))
+    # geo_3
+    expect += conv(nf, nf // 2, (3, 3, 3)) + bn(nf // 2)
+    expect += conv(nf // 2, nf // 2, (3, 3, 3)) + bn(nf // 2)
+    expect += conv(nf // 2, 1, (3, 3, 3))
+
+    gen, variables = _init(GeneratorConfig(nf=nf))
+    geo_names = ("geo_0", "geo_1", "geo_2", "geo_occ", "geo_3")
+    total = 0
+    for name, tree in variables["params"].items():
+        if name.startswith(geo_names):
+            total += count_params(tree)
+    # BN scale/bias live in params; running stats live in batch_stats
+    for name, tree in variables["batch_stats"].items():
+        pass  # running stats are not parameters in torch's count
+    assert total == expect
+
+
+def test_discriminator_shapes():
+    disc = Discriminator2D(nf_in=12, nf=8, patch_size=96, image_dims=(256, 320))
+    assert num_disc_layers(96, (256, 320), True) == 5
+    x = jnp.zeros((2, 256, 320, 12))
+    variables = disc.init(jax.random.PRNGKey(0), x, update_sn_stats=False)
+    out = disc.apply(variables, x, update_sn_stats=False)
+    assert out.shape == (2, 8, 10, 1)  # 256/2^5, 320/2^5
+    valid = disc.compute_valids(jnp.ones((2, 256, 320, 1)))
+    assert valid.shape == (2, 8, 10, 1)

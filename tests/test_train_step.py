@@ -1,0 +1,129 @@
+"""Train-step integration tests: geo-only, semantic, and the full 2D+GAN path
+on synthetic chunks (the reference's only equivalent was manual overfit runs,
+SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spsg_tpu.data import synthetic
+from spsg_tpu.training import StepFlags, TrainConfig
+from spsg_tpu.training.state import init_states
+from spsg_tpu.training.step import Trainer
+
+DIMS = (16, 16, 16)
+
+
+def _tiny_cfg(**kw):
+    defaults = dict(
+        input_dim=DIMS,
+        nf_gen=4,
+        nf_disc=4,
+        batch_size=2,
+        style_width=48,
+        style_height=32,
+        patch_size=16,
+        num_iters_geo_only=2,
+        max_depth_fill_iters=8,
+        min_num_valid_2d=10,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def _batch(cfg, with_frames=False, seed=1):
+    batch = synthetic.make_chunk_batch(
+        batch_size=cfg.batch_size,
+        dims=DIMS,
+        image_dims=(cfg.style_width, cfg.style_height),
+        seed=seed,
+        with_frames=with_frames,
+        truncation=cfg.truncation,
+    )
+    batch.pop("name", None)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch["weight_occ"] = jnp.ones(())
+    return batch
+
+
+def test_geo_only_step_runs_and_updates():
+    cfg = _tiny_cfg(weight_disc_loss=0.0, weight_depth_loss=0.0)
+    gen_state, disc_state = init_states(cfg, jax.random.PRNGKey(0))
+    assert disc_state is None
+    trainer = Trainer(cfg)
+    batch = _batch(cfg)
+    flags = StepFlags(pred_sdf=True, pred_color=False, pred_semantic=False)
+    p0 = np.asarray(gen_state.params["geo_0a"]["Conv_0"]["kernel"]).copy()
+    new_state, _, metrics = trainer.step(gen_state, None, batch, jax.random.PRNGKey(1), flags)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_occ"]))
+    assert np.isfinite(float(metrics["loss_sdf"]))
+    assert -1.0 <= float(metrics["iou_occ"]) <= 1.0
+    p1 = new_state.params["geo_0a"]["Conv_0"]["kernel"]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    assert int(new_state.step) == 1
+
+
+def test_geo_overfit_loss_decreases():
+    """The de-facto convergence smoke test of the reference (overfit mode,
+    train.py:179-183)."""
+    cfg = _tiny_cfg(weight_disc_loss=0.0, weight_depth_loss=0.0, lr=1e-3)
+    gen_state, _ = init_states(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg)
+    batch = _batch(cfg)
+    flags = StepFlags(pred_sdf=True)
+    losses = []
+    for i in range(20):
+        gen_state, _, metrics = trainer.step(
+            gen_state, None, batch, jax.random.PRNGKey(i), flags
+        )
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8
+
+
+def test_semantic_step():
+    cfg = _tiny_cfg(weight_disc_loss=0.0, weight_depth_loss=0.0)
+    gen_state, _ = init_states(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg)
+    batch = _batch(cfg)
+    flags = StepFlags(pred_sdf=True, pred_color=True, pred_semantic=True)
+    _, _, metrics = trainer.step(gen_state, None, batch, jax.random.PRNGKey(1), flags)
+    assert np.isfinite(float(metrics["loss_semantic"]))
+
+
+def test_full_2d_gan_step():
+    """Full path: 3 raycasts, depth/color losses, disc update + adversarial
+    generator loss (reference train.py:524-757)."""
+    cfg = _tiny_cfg()
+    gen_state, disc_state = init_states(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg)
+    batch = _batch(cfg, with_frames=True)
+    assert "images_depth" in batch
+    flags = StepFlags(
+        pred_sdf=True, pred_color=True, pred_semantic=True, use_2d=True, use_disc=True
+    )
+    d0 = jax.tree_util.tree_leaves(disc_state.params)[0].copy()
+    new_gen, new_disc, metrics = trainer.step(
+        gen_state, disc_state, batch, jax.random.PRNGKey(1), flags
+    )
+    for key in ("loss", "loss_occ", "loss_depth", "loss_color", "loss_disc", "loss_gen"):
+        assert key in metrics, key
+        assert np.isfinite(float(metrics[key])), key
+    # every parameter must stay finite after the update (guards the
+    # 0*inf-backward NaN class of bugs, e.g. norm gradients at zero)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(new_gen.params)[0]:
+        assert bool(jnp.all(jnp.isfinite(leaf))), path
+    for path, leaf in jax.tree_util.tree_flatten_with_path(new_disc.params)[0]:
+        assert bool(jnp.all(jnp.isfinite(leaf))), path
+    # val mode must not touch parameters
+    flags_val = StepFlags(
+        pred_sdf=True, pred_color=True, pred_semantic=True, use_2d=True, use_disc=True,
+        train=False,
+    )
+    same_gen, same_disc, _ = trainer.step(
+        new_gen, new_disc, batch, jax.random.PRNGKey(2), flags_val
+    )
+    a = jax.tree_util.tree_leaves(new_gen.params)[0]
+    b = jax.tree_util.tree_leaves(same_gen.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
