@@ -1,0 +1,95 @@
+"""Evaluation metrics (reference torch/metrics.py:1-104): SSIM on rendered
+images, bidirectional Chamfer distance on surface samples, Feature-l1 via a
+deep feature extractor. Self-contained rebuilds (no SSIM_PIL / chamferdist /
+torch.hub dependencies)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def ssim(img1: np.ndarray, img2: np.ndarray, window: int = 11, sigma: float = 1.5,
+         data_range: float = 255.0) -> float:
+    """Gaussian-weighted SSIM (Wang et al. 2004; replaces SSIM_PIL at
+    reference metrics.py:84-103). img: (H, W[, C]) float/uint8."""
+    from scipy.ndimage import gaussian_filter
+
+    x = np.asarray(img1, np.float64)
+    y = np.asarray(img2, np.float64)
+    if x.ndim == 3:
+        return float(np.mean([ssim(x[..., c], y[..., c], window, sigma, data_range)
+                              for c in range(x.shape[-1])]))
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_x = gaussian_filter(x, sigma)
+    mu_y = gaussian_filter(y, sigma)
+    mu_x2 = mu_x * mu_x
+    mu_y2 = mu_y * mu_y
+    mu_xy = mu_x * mu_y
+    sx = gaussian_filter(x * x, sigma) - mu_x2
+    sy = gaussian_filter(y * y, sigma) - mu_y2
+    sxy = gaussian_filter(x * y, sigma) - mu_xy
+    s = ((2 * mu_xy + c1) * (2 * sxy + c2)) / ((mu_x2 + mu_y2 + c1) * (sx + sy + c2))
+    return float(s.mean())
+
+
+def chamfer_distance(
+    pts_a: np.ndarray, pts_b: np.ndarray, bidirectional: bool = True
+) -> float:
+    """Mean squared nearest-neighbor distance, both directions summed
+    (reference metrics.py:43,67-82 via chamferdist). pts: (N, 3)."""
+    from scipy.spatial import cKDTree
+
+    ta = cKDTree(pts_a)
+    tb = cKDTree(pts_b)
+    d_ab, _ = tb.query(pts_a, k=1)
+    total = float(np.mean(d_ab**2))
+    if bidirectional:
+        d_ba, _ = ta.query(pts_b, k=1)
+        total += float(np.mean(d_ba**2))
+    return total
+
+
+def chamfer_between_meshes(
+    verts_a, faces_a, verts_b, faces_b, num_samples: int = 30000, seed: int = 0
+) -> float:
+    """Chamfer on 30k area-uniform surface samples (reference
+    metrics.py:43,67-82)."""
+    from ..ops.mesh import sample_point_cloud
+
+    pa = sample_point_cloud(np.asarray(verts_a), np.asarray(faces_a), num_samples, seed)
+    pb = sample_point_cloud(np.asarray(verts_b), np.asarray(faces_b), num_samples, seed + 1)
+    return chamfer_distance(pa, pb)
+
+
+_FEATURE_MODEL = None
+
+
+def _feature_extractor():
+    """Deep feature extractor for Feature-l1 (reference uses torch.hub
+    Inception-v3, metrics.py:45-53). Uses our VGG feature stack; pretrained
+    weights load when a local torchvision checkpoint exists, else fixed-seed
+    random features (still a valid distance, not ImageNet-aligned)."""
+    global _FEATURE_MODEL
+    if _FEATURE_MODEL is None:
+        from ..models.vgg import load_vgg_for_style
+
+        _FEATURE_MODEL = load_vgg_for_style(style_layers=(8,))
+    return _FEATURE_MODEL
+
+
+def feature_l1(img1: np.ndarray, img2: np.ndarray) -> float:
+    """Mean absolute difference of deep features of two RGB images in [0,1]
+    (reference metrics.py:92-100)."""
+    import jax
+    import jax.numpy as jnp
+
+    model, params = _feature_extractor()
+    a = jnp.asarray(img1, jnp.float32)[None]
+    b = jnp.asarray(img2, jnp.float32)[None]
+    fn = jax.jit(lambda x: model.apply({"params": params}, x)[0])
+    fa = fn(a)
+    fb = fn(b)
+    return float(jnp.mean(jnp.abs(fa - fb)))

@@ -1,0 +1,249 @@
+// Native isosurface extraction from dense TSDF grids (host-side C++).
+//
+// TPU-native replacement for the reference's marching-cubes extension
+// (torch/utils/marching_cubes/marching_cubes.cpp): same capability — mesh a
+// truncated SDF at an isovalue with per-vertex trilinearly-interpolated
+// colors, welded vertices and a validity rule (all 8 cube corners must be
+// within truncation, i.e. observed) — but implemented from scratch via
+// *marching tetrahedra* (6 tetrahedra per cube), which needs no 256-case
+// tables, is watertight, and welds vertices exactly by construction via
+// edge-keyed deduplication.
+//
+// Grid layout: z-major (z, y, x), matching the on-disk formats; vertices are
+// emitted in (x, y, z) order like the reference PLY output.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct V3 {
+  float x, y, z;
+};
+
+// the 6-tetrahedra decomposition of a cube around the main diagonal 0-7
+// (corner ids 0..7 with bit0 = x, bit1 = y, bit2 = z). Every tet contains
+// edge 0-7 and each cube face is split along the diagonal through the
+// lattice direction of 0-7, so adjacent cubes triangulate shared faces
+// identically (crack-free by construction).
+static const int kTets[6][4] = {
+    {0, 1, 3, 7}, {0, 3, 2, 7}, {0, 2, 6, 7},
+    {0, 6, 4, 7}, {0, 4, 5, 7}, {0, 5, 1, 7},
+};
+
+inline int corner_dx(int c) { return c & 1; }
+inline int corner_dy(int c) { return (c >> 1) & 1; }
+inline int corner_dz(int c) { return (c >> 2) & 1; }
+
+struct MeshBuilder {
+  std::vector<float> verts;    // xyz triplets
+  std::vector<uint8_t> colors; // rgb triplets
+  std::vector<int64_t> faces;  // index triplets
+  // weld map: key = (min_corner_linear * 8 + max_corner_offset_code) — we key
+  // edges by the two global corner ids
+  std::unordered_map<uint64_t, int64_t> edge_vertex;
+
+  const float* sdf;
+  const uint8_t* color_grid; // may be null
+  int64_t dimz, dimy, dimx;
+  float isovalue;
+
+  inline int64_t corner_id(int64_t x, int64_t y, int64_t z) const {
+    return (z * dimy + y) * dimx + x;
+  }
+
+  int64_t edge_vert(int64_t xa, int64_t ya, int64_t za, float va,
+                    int64_t xb, int64_t yb, int64_t zb, float vb) {
+    int64_t ia = corner_id(xa, ya, za);
+    int64_t ib = corner_id(xb, yb, zb);
+    if (ia > ib) {
+      std::swap(ia, ib);
+      std::swap(xa, xb);
+      std::swap(ya, yb);
+      std::swap(za, zb);
+      std::swap(va, vb);
+    }
+    uint64_t key = (uint64_t)ia * 0x100000000ull ^ (uint64_t)ib;
+    auto it = edge_vertex.find(key);
+    if (it != edge_vertex.end()) return it->second;
+    float denom = va - vb;
+    float t = std::fabs(denom) < 1e-12f ? 0.5f : (va - isovalue) / denom;
+    if (t < 0.f) t = 0.f;
+    if (t > 1.f) t = 1.f;
+    float px = xa + t * (xb - xa);
+    float py = ya + t * (yb - ya);
+    float pz = za + t * (zb - za);
+    int64_t idx = (int64_t)(verts.size() / 3);
+    verts.push_back(px);
+    verts.push_back(py);
+    verts.push_back(pz);
+    if (color_grid) {
+      // trilinear interpolation of the uint8 color grid at (px, py, pz)
+      float fx = px, fy = py, fz = pz;
+      int64_t x0 = (int64_t)std::floor(fx), y0 = (int64_t)std::floor(fy),
+              z0 = (int64_t)std::floor(fz);
+      float wx = fx - x0, wy = fy - y0, wz = fz - z0;
+      float acc[3] = {0, 0, 0};
+      for (int dz = 0; dz < 2; ++dz)
+        for (int dy = 0; dy < 2; ++dy)
+          for (int dx = 0; dx < 2; ++dx) {
+            int64_t xx = x0 + dx, yy = y0 + dy, zz = z0 + dz;
+            if (xx < 0) xx = 0;
+            if (yy < 0) yy = 0;
+            if (zz < 0) zz = 0;
+            if (xx >= dimx) xx = dimx - 1;
+            if (yy >= dimy) yy = dimy - 1;
+            if (zz >= dimz) zz = dimz - 1;
+            float w = (dx ? wx : 1 - wx) * (dy ? wy : 1 - wy) * (dz ? wz : 1 - wz);
+            const uint8_t* c = color_grid + 3 * ((zz * dimy + yy) * dimx + xx);
+            acc[0] += w * c[0];
+            acc[1] += w * c[1];
+            acc[2] += w * c[2];
+          }
+      for (int k = 0; k < 3; ++k) {
+        float v = acc[k];
+        colors.push_back((uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v + 0.5f)));
+      }
+    }
+    edge_vertex.emplace(key, idx);
+    return idx;
+  }
+
+  void emit_tri(int64_t a, int64_t b, int64_t c) {
+    if (a == b || b == c || a == c) return;  // degenerate
+    faces.push_back(a);
+    faces.push_back(b);
+    faces.push_back(c);
+  }
+
+  // marching one tetrahedron: corners as (x, y, z, value)
+  void march_tet(const int64_t cx[4], const int64_t cy[4], const int64_t cz[4],
+                 const float v[4]) {
+    int code = 0;
+    for (int i = 0; i < 4; ++i)
+      if (v[i] < isovalue) code |= (1 << i);
+    if (code == 0 || code == 15) return;
+    // collect crossing edges of the 6 tet edges
+    static const int E[6][2] = {{0, 1}, {0, 2}, {0, 3}, {1, 2}, {1, 3}, {2, 3}};
+    // canonical triangulations per case
+    auto ev = [&](int a, int b) {
+      return edge_vert(cx[a], cy[a], cz[a], v[a], cx[b], cy[b], cz[b], v[b]);
+    };
+    switch (code) {
+      case 1: case 14: {
+        int64_t p0 = ev(0, 1), p1 = ev(0, 2), p2 = ev(0, 3);
+        if (code == 1) emit_tri(p0, p1, p2); else emit_tri(p0, p2, p1);
+        break;
+      }
+      case 2: case 13: {
+        int64_t p0 = ev(1, 0), p1 = ev(1, 3), p2 = ev(1, 2);
+        if (code == 2) emit_tri(p0, p1, p2); else emit_tri(p0, p2, p1);
+        break;
+      }
+      case 4: case 11: {
+        int64_t p0 = ev(2, 0), p1 = ev(2, 1), p2 = ev(2, 3);
+        if (code == 4) emit_tri(p0, p1, p2); else emit_tri(p0, p2, p1);
+        break;
+      }
+      case 8: case 7: {
+        int64_t p0 = ev(3, 0), p1 = ev(3, 2), p2 = ev(3, 1);
+        if (code == 8) emit_tri(p0, p1, p2); else emit_tri(p0, p2, p1);
+        break;
+      }
+      case 3: case 12: {  // {0,1} vs {2,3}
+        int64_t a = ev(0, 2), b = ev(0, 3), c = ev(1, 3), d = ev(1, 2);
+        if (code == 3) { emit_tri(a, b, c); emit_tri(a, c, d); }
+        else { emit_tri(a, c, b); emit_tri(a, d, c); }
+        break;
+      }
+      case 5: case 10: {  // {0,2} vs {1,3}
+        int64_t a = ev(0, 1), b = ev(2, 1), c = ev(2, 3), d = ev(0, 3);
+        if (code == 5) emit_tri(a, b, c), emit_tri(a, c, d);
+        else emit_tri(a, c, b), emit_tri(a, d, c);
+        break;
+      }
+      case 6: case 9: {  // {1,2} vs {0,3}
+        int64_t a = ev(1, 0), b = ev(2, 0), c = ev(2, 3), d = ev(1, 3);
+        if (code == 6) emit_tri(a, b, c), emit_tri(a, c, d);
+        else emit_tri(a, c, b), emit_tri(a, d, c);
+        break;
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. Caller frees out_* with spsg_mesh_free.
+int spsg_extract_isosurface(
+    const float* sdf, const uint8_t* colors, int64_t dimz, int64_t dimy,
+    int64_t dimx, float isovalue, float truncation,
+    float** out_verts, uint8_t** out_colors, int64_t** out_faces,
+    int64_t* n_verts, int64_t* n_faces) {
+  MeshBuilder mb;
+  mb.sdf = sdf;
+  mb.color_grid = colors;
+  mb.dimz = dimz;
+  mb.dimy = dimy;
+  mb.dimx = dimx;
+  mb.isovalue = isovalue;
+
+  for (int64_t z = 0; z + 1 < dimz; ++z) {
+    for (int64_t y = 0; y + 1 < dimy; ++y) {
+      for (int64_t x = 0; x + 1 < dimx; ++x) {
+        float v[8];
+        bool valid = true;
+        for (int c = 0; c < 8; ++c) {
+          int64_t xx = x + corner_dx(c);
+          int64_t yy = y + corner_dy(c);
+          int64_t zz = z + corner_dz(c);
+          float s = sdf[(zz * dimy + yy) * dimx + xx];
+          // validity: observed within truncation (reference get_voxel weight
+          // rule, marching_cubes.cpp:72-105)
+          if (!(std::fabs(s) < truncation) || !std::isfinite(s)) {
+            valid = false;
+            break;
+          }
+          v[c] = s;
+        }
+        if (!valid) continue;
+        for (int t = 0; t < 6; ++t) {
+          int64_t cx[4], cy[4], cz[4];
+          float tv[4];
+          for (int i = 0; i < 4; ++i) {
+            int c = kTets[t][i];
+            cx[i] = x + corner_dx(c);
+            cy[i] = y + corner_dy(c);
+            cz[i] = z + corner_dz(c);
+            tv[i] = v[c];
+          }
+          mb.march_tet(cx, cy, cz, tv);
+        }
+      }
+    }
+  }
+
+  *n_verts = (int64_t)(mb.verts.size() / 3);
+  *n_faces = (int64_t)(mb.faces.size() / 3);
+  *out_verts = (float*)std::malloc(mb.verts.size() * sizeof(float));
+  std::memcpy(*out_verts, mb.verts.data(), mb.verts.size() * sizeof(float));
+  if (colors) {
+    *out_colors = (uint8_t*)std::malloc(mb.colors.size());
+    std::memcpy(*out_colors, mb.colors.data(), mb.colors.size());
+  } else {
+    *out_colors = nullptr;
+  }
+  *out_faces = (int64_t*)std::malloc(mb.faces.size() * sizeof(int64_t));
+  std::memcpy(*out_faces, mb.faces.data(), mb.faces.size() * sizeof(int64_t));
+  return 0;
+}
+
+void spsg_mesh_free(void* p) { std::free(p); }
+
+}  // extern "C"

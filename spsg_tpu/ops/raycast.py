@@ -116,10 +116,33 @@ def _gather(flat_vol, idx):
     )
 
 
-def _trilerp_sdf(flat_sdf, flat_valid, pos_x, pos_y, pos_z, dims):
-    """Trilinear SDF interpolation; valid only when all 8 neighbors are valid
-    surface voxels (reference trilinearInterpolationSimpleFastFast,
-    raycast_rgbd_cuda_kernel.cu:120-156). Returns (value (B,P), ok (B,P))."""
+def build_march_cells(sdf: jax.Array, valid: jax.Array) -> jax.Array:
+    """Pack the 8 trilerp corner values of every grid cell contiguously:
+    (B, Z, Y, X, 8), NaN-coded when ANY corner is invalid or out of bounds
+    (the reference's all-8-neighbors-valid rule,
+    raycast_rgbd_cuda_kernel.cu:120-156).
+
+    TPU rationale: the march then needs ONE 32-byte contiguous gather per
+    sample instead of 8 scattered 4-byte gathers — ~8x less gather work, the
+    dominant cost of the ray march."""
+    B, Z, Y, X = sdf.shape
+    nan = jnp.float32(jnp.nan)
+    s = jnp.where(valid, sdf, nan)
+    sp = jnp.pad(s, ((0, 0), (0, 1), (0, 1), (0, 1)), constant_values=jnp.nan)
+    corners = []
+    # packing order must match _cell_trilerp: bit0 = x, bit1 = y, bit2 = z
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                corners.append(sp[:, dz : dz + Z, dy : dy + Y, dx : dx + X])
+    cells = jnp.stack(corners, axis=-1)
+    all_ok = jnp.all(jnp.isfinite(cells), axis=-1, keepdims=True)
+    return jnp.where(all_ok, cells, nan)
+
+
+def _cell_trilerp(cells_flat, pos_x, pos_y, pos_z, dims):
+    """Trilinear interpolation via the packed cell volume. Returns (value,
+    ok); invalid samples are NaN -> ok False. cells_flat: (B, N, 8)."""
     Z, Y, X = dims
     bx = jnp.floor(pos_x)
     by = jnp.floor(pos_y)
@@ -127,37 +150,38 @@ def _trilerp_sdf(flat_sdf, flat_valid, pos_x, pos_y, pos_z, dims):
     wx = pos_x - bx
     wy = pos_y - by
     wz = pos_z - bz
-    bx = bx.astype(jnp.int32)
-    by = by.astype(jnp.int32)
-    bz = bz.astype(jnp.int32)
-
-    val = jnp.zeros_like(pos_x)
-    ok = jnp.ones(pos_x.shape, dtype=bool)
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                ix = bx + dx
-                iy = by + dy
-                iz = bz + dz
-                inb = (
-                    (ix >= 0) & (iy >= 0) & (iz >= 0) & (ix < X) & (iy < Y) & (iz < Z)
-                )
-                idx = _flat_index(
-                    jnp.clip(ix, 0, X - 1),
-                    jnp.clip(iy, 0, Y - 1),
-                    jnp.clip(iz, 0, Z - 1),
-                    dims,
-                )
-                v = _gather(flat_sdf, idx)
-                vv = _gather(flat_valid, idx)
-                w = (
-                    (wx if dx else (1.0 - wx))
-                    * (wy if dy else (1.0 - wy))
-                    * (wz if dz else (1.0 - wz))
-                )
-                val = val + w * v
-                ok = ok & inb & vv
-    return val, ok
+    ix = bx.astype(jnp.int32)
+    iy = by.astype(jnp.int32)
+    iz = bz.astype(jnp.int32)
+    inb = (ix >= 0) & (iy >= 0) & (iz >= 0) & (ix < X - 1) & (iy < Y - 1) & (iz < Z - 1)
+    idx = _flat_index(
+        jnp.clip(ix, 0, X - 1), jnp.clip(iy, 0, Y - 1), jnp.clip(iz, 0, Z - 1), dims
+    )
+    B = cells_flat.shape[0]
+    flat_shape = idx.shape[1:]
+    c = jnp.take_along_axis(
+        cells_flat, idx.reshape(B, -1, 1), axis=1, mode="clip"
+    ).reshape((B,) + flat_shape + (8,))
+    w000 = (1 - wx) * (1 - wy) * (1 - wz)
+    w001 = wx * (1 - wy) * (1 - wz)
+    w010 = (1 - wx) * wy * (1 - wz)
+    w011 = wx * wy * (1 - wz)
+    w100 = (1 - wx) * (1 - wy) * wz
+    w101 = wx * (1 - wy) * wz
+    w110 = (1 - wx) * wy * wz
+    w111 = wx * wy * wz
+    val = (
+        w000 * c[..., 0]
+        + w001 * c[..., 1]
+        + w010 * c[..., 2]
+        + w011 * c[..., 3]
+        + w100 * c[..., 4]
+        + w101 * c[..., 5]
+        + w110 * c[..., 6]
+        + w111 * c[..., 7]
+    )
+    ok = jnp.isfinite(val) & inb
+    return jnp.where(ok, val, jnp.nan), ok
 
 
 def _ray_aabb(origin, direction, dims):
@@ -176,17 +200,24 @@ def _ray_aabb(origin, direction, dims):
     return tmin, tmax
 
 
+MARCH_BLOCK = 32  # march steps evaluated per while-loop iteration
+
+
 def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
     """Non-differentiable surface search. Returns a dict with per-pixel:
     hit (B,P) bool, alpha (B,P) ray length, hit voxel flat index (B,P) int32.
 
     sdf: (B, Z, Y, X) float32 (voxel units); valid: (B, Z, Y, X) bool.
-    """
+
+    TPU structure: the march runs MARCH_BLOCK steps at a time inside a
+    lax.while_loop — each iteration is one large contiguous-cell gather +
+    vectorized sign-change detection over (B, P, MARCH_BLOCK), and the loop
+    exits as soon as every ray has either found its bracket or left the
+    volume (per-ray AABB clipping)."""
     B = sdf.shape[0]
     dims = sdf.shape[1:4]
     P = cfg.width * cfg.height
-    flat_sdf = sdf.reshape(B, -1)
-    flat_valid = valid.reshape(B, -1)
+    cells_flat = build_march_cells(sdf, valid).reshape(B, -1, 8)
 
     origin, direction, cam_z = _camera_rays(view, intrinsics, cfg.width, cfg.height)
     # rayCurrent/rayEnd in ray-length units (kernel :194-197)
@@ -207,16 +238,23 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
     dz = direction[..., 2]
 
     def sample(t):
-        return _trilerp_sdf(
-            flat_sdf, flat_valid, ox + t * dx, oy + t * dy, oz + t * dz, dims
-        )
+        """Trilerp at ray length t; t may be (B, P) or (B, P, K)."""
+        if t.ndim == 3:
+            px = ox[..., None] + t * dx[..., None]
+            py = oy[..., None] + t * dy[..., None]
+            pz = oz[..., None] + t * dz[..., None]
+        else:
+            px = ox + t * dx
+            py = oy + t * dy
+            pz = oz + t * dz
+        return _cell_trilerp(cells_flat, px, py, pz, dims)
 
-    d0, ok0 = sample(t0)
+    d0, _ = sample(t0)
+    n_blocks = -(-cfg.max_steps // MARCH_BLOCK)
 
     init = dict(
-        k=jnp.zeros((), jnp.int32),
-        prev_sdf=d0,
-        prev_ok=ok0,
+        blk=jnp.zeros((), jnp.int32),
+        prev=d0,  # NaN when invalid
         found=jnp.zeros((B, P), bool),
         t_lo=jnp.zeros((B, P), jnp.float32),
         d_lo=jnp.zeros((B, P), jnp.float32),
@@ -224,34 +262,41 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
         d_hi=jnp.zeros((B, P), jnp.float32),
     )
 
+    offs = jnp.arange(1, MARCH_BLOCK + 1, dtype=jnp.float32)
+
     def cond(c):
-        t = t0 + (c["k"] + 1).astype(jnp.float32) * cfg.ray_increment
-        alive = ~c["found"] & (t <= t_stop)
-        return (c["k"] < cfg.max_steps) & jnp.any(alive)
+        t_next = t0 + (c["blk"] * MARCH_BLOCK + 1).astype(jnp.float32) * cfg.ray_increment
+        alive = ~c["found"] & (t_next <= t_stop)
+        return (c["blk"] < n_blocks) & jnp.any(alive)
 
     def body(c):
-        t = t0 + (c["k"] + 1).astype(jnp.float32) * cfg.ray_increment
-        d, ok = sample(t)
-        in_range = t <= t_stop
+        base = (c["blk"] * MARCH_BLOCK).astype(jnp.float32)
+        t = t0[..., None] + (base + offs) * cfg.ray_increment  # (B, P, K)
+        v, _ = sample(t)  # NaN-coded invalid
+        vext = jnp.concatenate([c["prev"][..., None], v], axis=-1)  # (B,P,K+1)
+        prev_v = vext[..., :-1]
+        in_range = t <= t_stop[..., None]
+        # NaN comparisons are False, so validity of both samples is implied
         crossing = (
-            ok
-            & c["prev_ok"]
-            & in_range
-            & (c["prev_sdf"] * d < 0)
-            & (jnp.abs(c["prev_sdf"] - d) < cfg.thresh_sample_dist)
-            & (jnp.abs(d) < cfg.thresh_sample_dist)
+            in_range
+            & (prev_v * v < 0)
+            & (jnp.abs(prev_v - v) < cfg.thresh_sample_dist)
+            & (jnp.abs(v) < cfg.thresh_sample_dist)
         )
-        record = crossing & ~c["found"]
-        t_prev = t - cfg.ray_increment
+        any_cross = jnp.any(crossing, axis=-1)
+        first = jnp.argmax(crossing, axis=-1)  # (B, P)
+        t_hit = jnp.take_along_axis(t, first[..., None], axis=-1)[..., 0]
+        d_hit = jnp.take_along_axis(v, first[..., None], axis=-1)[..., 0]
+        d_prev = jnp.take_along_axis(prev_v, first[..., None], axis=-1)[..., 0]
+        record = any_cross & ~c["found"]
         return dict(
-            k=c["k"] + 1,
-            prev_sdf=d,
-            prev_ok=ok & in_range,
+            blk=c["blk"] + 1,
+            prev=v[..., -1],
             found=c["found"] | record,
-            t_lo=jnp.where(record, t_prev, c["t_lo"]),
-            d_lo=jnp.where(record, c["prev_sdf"], c["d_lo"]),
-            t_hi=jnp.where(record, t, c["t_hi"]),
-            d_hi=jnp.where(record, d, c["d_hi"]),
+            t_lo=jnp.where(record, t_hit - cfg.ray_increment, c["t_lo"]),
+            d_lo=jnp.where(record, d_prev, c["d_lo"]),
+            t_hi=jnp.where(record, t_hit, c["t_hi"]),
+            d_hi=jnp.where(record, d_hit, c["d_hi"]),
         )
 
     c = jax.lax.while_loop(cond, body, init)
@@ -267,6 +312,7 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
         cmid = a + (da / denom) * (b - a)
         dmid, okm = sample(cmid)
         ok_bis = ok_bis & okm
+        dmid = jnp.where(okm, dmid, 0.0)
         go_a = da * dmid > 0
         a = jnp.where(go_a, cmid, a)
         da = jnp.where(go_a, dmid, da)
@@ -286,7 +332,7 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
     idx = _flat_index(
         jnp.clip(ix, 0, X - 1), jnp.clip(iy, 0, Y - 1), jnp.clip(iz, 0, Z - 1), dims
     )
-    hit_ok = _gather(flat_valid, idx)
+    hit_ok = _gather(valid.reshape(B, -1), idx)
     hit = found & ok_bis & inb & hit_ok
     depth = alpha * cam_z  # ray length -> camera z (kernel :215)
     return dict(hit=hit, alpha=alpha, depth=depth, hit_idx=idx)
