@@ -1,0 +1,180 @@
+"""Whole-scene chunked evaluation CLI (reference
+torch/test_scene_as_chunks.py:21-371): sliding-window completion with overlap
+stitching, global geo IoU + per-class/frequency-weighted semantic mIoU,
+IoU.txt, and mesh/image visual dumps.
+
+Examples:
+  python -m spsg_tpu.cli.test_scene_as_chunks --input_data_path ./scenes-inc \
+      --target_data_path ./scenes-cmp --test_file_list filelists/test.txt \
+      --model_path ./logs/model-epoch9 --output ./output
+
+  python -m spsg_tpu.cli.test_scene_as_chunks --synthetic_scenes 3 \
+      --model_path '' --output ./output      # random weights, smoke mode
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--input_data_path", default="", help="path to input scenes")
+    p.add_argument("--target_data_path", default="", help="path to target scenes")
+    p.add_argument("--test_file_list", default="", help="file list of test scenes")
+    p.add_argument("--model_path", default="", help="checkpoint to test ('' = random init)")
+    p.add_argument("--output", default="./output", help="output folder")
+    p.add_argument("--synthetic_scenes", type=int, default=0)
+    p.add_argument("--truncation", type=float, default=3)
+    p.add_argument("--input_dim", type=int, default=0)
+    p.add_argument("--nf_gen", type=int, default=20)
+    p.add_argument("--no_pass_geo_feats", dest="pass_geo_feats", action="store_false")
+    p.add_argument("--input_mask", type=int, default=1)
+    p.add_argument("--num_to_vis", type=int, default=10)
+    p.add_argument("--max_to_process", type=int, default=150)
+    p.add_argument("--weight_color_loss", type=float, default=1.0)
+    p.add_argument("--weight_semantic_loss", type=float, default=0.1)
+    p.add_argument("--color_space", type=str, default="lab")
+    p.add_argument("--stride", type=int, default=32)
+    p.add_argument("--window_batch", type=int, default=8)
+    p.set_defaults(pass_geo_feats=True)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+
+    from ..data import category
+    from ..inference import chunked
+    from ..training import TrainConfig
+    from ..training.state import init_states, load_checkpoint, make_generator
+    from ..utils import visualize
+
+    chunk_dims = (128, 64, 64) if args.input_dim == 0 else (args.input_dim,) * 3
+    cfg = TrainConfig(
+        input_dim=chunk_dims,
+        truncation=args.truncation,
+        nf_gen=args.nf_gen,
+        pass_geo_feats=args.pass_geo_feats,
+        input_mask=bool(args.input_mask),
+        color_space=args.color_space,
+        weight_color_loss=args.weight_color_loss,
+        weight_semantic_loss=args.weight_semantic_loss,
+        weight_disc_loss=0.0,
+    )
+    generator = make_generator(cfg)
+    gen_state, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
+    if args.model_path:
+        gen_state, _, _ = load_checkpoint(args.model_path, gen_state, None)
+        print("loaded model:", args.model_path)
+    variables = {"params": gen_state.params, "batch_stats": gen_state.batch_stats}
+
+    # assemble scenes
+    scenes = []
+    if args.synthetic_scenes > 0:
+        from ..data import pipeline, synthetic
+
+        for i in range(args.synthetic_scenes):
+            s = synthetic.make_scene(dims=(128, 160, 192), seed=100 + i)
+            sample = pipeline.assemble_sample(
+                s.sdf_input, s.sdf_complete, s.input_colors, s.colors, s.semantics,
+                s.known, s.world2grid, args.truncation, args.color_space, None,
+            )
+            sample["name"] = f"synthetic_scene_{i}"
+            scenes.append(sample)
+    else:
+        from ..data import pipeline
+
+        files, _, _ = pipeline.get_train_files(args.input_data_path, args.test_file_list)
+        random.seed(42)
+        random.shuffle(files)
+        files = files[: args.max_to_process]
+        ds = pipeline.SceneDataset(
+            files,
+            args.target_data_path,
+            truncation=args.truncation,
+            color_space=args.color_space,
+            load_semantic=args.weight_semantic_loss > 0,
+        )
+        scenes = [ds[i] for i in range(len(ds))]
+
+    os.makedirs(args.output, exist_ok=True)
+    vis_dir = os.path.join(args.output, "vis")
+    os.makedirs(vis_dir, exist_ok=True)
+
+    geo_i_total = 0
+    geo_u_total = 0
+    cls_i_total = np.zeros(category.NUM_CLASSES, np.int64)
+    cls_u_total = np.zeros(category.NUM_CLASSES, np.int64)
+    cls_w_total = np.zeros(category.NUM_CLASSES, np.int64)
+    num_vis = 0
+    for si, sample in enumerate(scenes):
+        print(f"[ {si} | {len(scenes)} ] {sample['name']} {sample['input'].shape}")
+        out = chunked.run_chunked_inference(
+            generator,
+            variables,
+            sample["input"],
+            sample["mask"],
+            sample["target_sdf"],
+            sample.get("known"),
+            sample.get("semantics"),
+            truncation=args.truncation,
+            chunk_dims=chunk_dims,
+            stride=args.stride,
+            window_batch=args.window_batch,
+            pred_color=args.weight_color_loss > 0,
+            pred_semantic=args.weight_semantic_loss > 0,
+        )
+        summ = chunked.summarize_iou(
+            out.geo_intersection, out.geo_union,
+            out.class_intersection, out.class_union, out.class_weight,
+        )
+        print(f"**Geo IoU: {summ['geo_iou']:.3f}  mean mIoU: {summ['mean_iou']:.3f}")
+        geo_i_total += out.geo_intersection
+        geo_u_total += out.geo_union
+        cls_i_total += out.class_intersection
+        cls_u_total += out.class_union
+        cls_w_total += out.class_weight
+
+        if num_vis < args.num_to_vis:
+            h = sample["input"].shape[0]
+            pred_colors01 = (
+                out.colors / 255.0 * 2.0 - 1.0 if out.colors is not None else None
+            )
+            visualize.save_predictions(
+                vis_dir,
+                sample["name"],
+                sample["input"][: out.sdf.shape[0]],
+                np.clip(sample["target_sdf"][: out.sdf.shape[0]], -args.truncation, args.truncation),
+                sample["target_colors"][: out.sdf.shape[0]],
+                sample.get("semantics", np.zeros((1, 1, 1), np.uint8))[: out.sdf.shape[0]]
+                if "semantics" in sample
+                else None,
+                out.sdf,
+                pred_colors01,
+                out.semantics,
+                truncation=args.truncation,
+                color_space=args.color_space,
+            )
+            num_vis += 1
+
+    print("\n=========== Summary =============")
+    summary = chunked.summarize_iou(
+        geo_i_total, geo_u_total, cls_i_total, cls_u_total, cls_w_total
+    )
+    print(f"Evaluate {len(scenes)} regions:")
+    print(f"**Geo IoU: {summary['geo_iou']:.3f}")
+    for n, v in summary["class_iou"].items():
+        print(f"{n}: {v:.3f}")
+    print(f"**Mean: {summary['mean_iou']:.3f}")
+    chunked.write_iou_txt(os.path.join(args.output, "IoU.txt"), summary)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

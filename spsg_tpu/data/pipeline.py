@@ -347,6 +347,95 @@ class ChunkDataset:
             return None
 
 
+class SceneDataset:
+    """Full-scene dataset (reference SceneDataset scene mode,
+    scene_dataloader.py:56-66, 103-126): pairs an incomplete scene .sdf with
+    the complete target of the same basename in ``target_path``, loading
+    .colors/.semantics sidecars and the .knw known grid."""
+
+    def __init__(
+        self,
+        files: Sequence[str],
+        target_path: str,
+        truncation: float = 3.0,
+        color_space: str = "lab",
+        load_semantic: bool = False,
+        load_known: bool = True,
+        max_input_height: int = 0,
+    ):
+        self.pairs = [
+            (f, os.path.join(target_path, os.path.basename(f)))
+            for f in files
+            if os.path.isfile(f) and os.path.isfile(os.path.join(target_path, os.path.basename(f)))
+        ]
+        self.truncation = truncation
+        self.color_space = color_space
+        self.load_semantic = load_semantic
+        self.load_known = load_known
+        self.max_input_height = max_input_height
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        inc_file, tgt_file = self.pairs[idx]
+        name = os.path.splitext(os.path.basename(inc_file))[0]
+        base = os.path.splitext(tgt_file)[0]
+        color_path = base + ".colors"
+        sem_path = base + ".semantics"
+        tgt = formats.load_sdf(
+            tgt_file,
+            load_color=os.path.isfile(color_path),
+            load_semantic=self.load_semantic and os.path.isfile(sem_path),
+            color_path=color_path if os.path.isfile(color_path) else None,
+            semantic_path=sem_path if os.path.isfile(sem_path) else None,
+        )
+        inp = formats.load_sdf(
+            inc_file,
+            load_color=os.path.isfile(os.path.splitext(inc_file)[0] + ".colors"),
+            color_path=(os.path.splitext(inc_file)[0] + ".colors")
+            if os.path.isfile(os.path.splitext(inc_file)[0] + ".colors")
+            else None,
+        )
+        dims = tgt.dims
+        known = None
+        if self.load_known:
+            # .knw next to the target (reference path mangling
+            # scene_dataloader.py:116-122 is dataset-layout specific; we look
+            # for the plain sidecar and rescale when at half resolution)
+            knw_path = base + ".knw"
+            if os.path.isfile(knw_path):
+                known, _, _ = formats.load_known(knw_path)
+                if known.shape != dims:
+                    known = formats.rescale_known(known, (3, 3, 3), (3, 6, 6), dims)
+        in_bounds = (
+            (inp.locs[:, 0] < dims[0]) & (inp.locs[:, 1] < dims[1]) & (inp.locs[:, 2] < dims[2])
+        )
+        locs, sdf = inp.locs[in_bounds], inp.sdf[in_bounds]
+        sdf_input = formats.sparse_to_dense(locs, sdf[:, None], dims, -np.inf)
+        sdf_target = formats.sparse_to_dense(tgt.locs, tgt.sdf[:, None], dims, -np.inf)
+        input_colors = (
+            inp.colors if inp.colors is not None else np.zeros(dims + (3,), np.uint8)
+        )
+        target_colors = (
+            tgt.colors if tgt.colors is not None else np.zeros(dims + (3,), np.uint8)
+        )
+        sample = assemble_sample(
+            sdf_input=sdf_input,
+            sdf_target=sdf_target,
+            input_colors=input_colors,
+            target_colors=target_colors,
+            semantics=tgt.semantics,
+            known=known,
+            world2grid=tgt.world2grid,
+            truncation=self.truncation,
+            color_space=self.color_space,
+            augment_hue_scale=None,
+        )
+        sample["name"] = name
+        return sample
+
+
 def batch_iterator(
     dataset,
     batch_size: int,

@@ -1,0 +1,83 @@
+"""Chunked whole-scene inference tests: single-window equivalence with a
+direct forward pass, multi-window stitching, IoU summary plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spsg_tpu.data import pipeline, synthetic
+from spsg_tpu.inference import chunked
+from spsg_tpu.training import TrainConfig
+from spsg_tpu.training.state import init_states, make_generator
+
+CHUNK = (16, 16, 16)
+
+
+def _setup():
+    cfg = TrainConfig(input_dim=CHUNK, nf_gen=4, weight_disc_loss=0.0)
+    gen = make_generator(cfg)
+    gs, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
+    variables = {"params": gs.params, "batch_stats": gs.batch_stats}
+    return cfg, gen, variables
+
+
+def _scene_sample(dims, seed=3):
+    s = synthetic.make_scene(dims=dims, seed=seed)
+    sample = pipeline.assemble_sample(
+        s.sdf_input, s.sdf_complete, s.input_colors, s.colors, s.semantics,
+        s.known, s.world2grid, 3.0, "lab", None,
+    )
+    return sample
+
+
+def test_single_window_matches_direct_forward():
+    cfg, gen, variables = _setup()
+    sample = _scene_sample(CHUNK)
+    out = chunked.run_chunked_inference(
+        gen, variables, sample["input"], sample["mask"], sample["target_sdf"],
+        sample["known"], sample["semantics"], chunk_dims=CHUNK,
+        stride=CHUNK[1], pad=2, max_height=CHUNK[0], window_batch=1,
+    )
+    occ_l, sdf_p, color_p, sem_p = gen.apply(
+        variables, jnp.asarray(sample["input"][None]), jnp.asarray(sample["mask"][None]),
+        pred_color=True, pred_sdf=True, pred_semantic=True, train=False,
+    )
+    sdf_p = np.asarray(sdf_p)[0, ..., 0]
+    occ = 1 / (1 + np.exp(-np.asarray(occ_l)[0, ..., 0])) > 0.5
+    surf = (np.abs(sdf_p) < 3.0) & occ
+    got = out.counts > 0
+    np.testing.assert_array_equal(got, surf)
+    np.testing.assert_allclose(out.sdf[got], sdf_p[surf], atol=1e-5)
+
+
+def test_multi_window_stitching():
+    cfg, gen, variables = _setup()
+    sample = _scene_sample((16, 40, 48), seed=4)
+    out = chunked.run_chunked_inference(
+        gen, variables, sample["input"], sample["mask"], sample["target_sdf"],
+        sample["known"], sample["semantics"], chunk_dims=CHUNK,
+        stride=8, pad=2, max_height=CHUNK[0], window_batch=4,
+    )
+    assert out.sdf.shape == (16, 40, 48)
+    assert out.counts.max() >= 2  # overlapping windows did accumulate
+    assert np.isfinite(out.sdf[out.counts > 0]).all()
+    assert out.geo_union > 0
+    summary = chunked.summarize_iou(
+        out.geo_intersection, out.geo_union,
+        out.class_intersection, out.class_union, out.class_weight,
+    )
+    assert 0.0 <= summary["geo_iou"] <= 1.0
+    assert 0.0 <= summary["mean_iou"] <= 1.0
+
+
+def test_iou_txt(tmp_path):
+    summary = {
+        "geo_iou": 0.5,
+        "mean_iou": 0.25,
+        "class_iou": {n: 0.1 for n in __import__("spsg_tpu.data.category", fromlist=["CLASS_NAMES"]).CLASS_NAMES},
+    }
+    p = str(tmp_path / "IoU.txt")
+    chunked.write_iou_txt(p, summary)
+    content = open(p).read()
+    assert content.startswith("0.5")
+    assert "Mean: 0.25" in content

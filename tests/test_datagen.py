@@ -1,0 +1,133 @@
+"""Datagen tests: TSDF fusion correctness vs analytic geometry, known-space
+encoding, end-to-end virtual scan producing loadable training files, and
+semantic splatting (reference datagen has only a save/reload self-check,
+Fuser.cpp:106-126)."""
+
+import numpy as np
+import pytest
+
+from spsg_tpu.data import formats
+from spsg_tpu.datagen import fusion, scan, semantics
+from spsg_tpu.ops import mesh as mesh_ops
+
+
+def _plane_mesh(z0=0.5, half=1.0):
+    """A horizontal square plane at world z = z0."""
+    verts = np.array(
+        [
+            [-half, -half, z0],
+            [half, -half, z0],
+            [half, half, z0],
+            [-half, half, z0],
+        ],
+        np.float32,
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    return verts, faces
+
+
+def test_grid_from_bounds():
+    cfg = fusion.FusionConfig(voxelsize=0.05, scene_pad=2, height_pad=1)
+    dims, w2g = fusion.grid_from_bounds([0, 0, 0], [1.0, 0.5, 0.25], cfg)
+    assert dims == (5 + 2, 10 + 4, 20 + 4)  # zyx; +2*pad per axis
+    # world origin maps to the padding offset
+    p = w2g @ np.array([0, 0, 0, 1.0])
+    np.testing.assert_allclose(p[:3], [2, 2, 1], atol=1e-5)
+
+
+def test_fuse_plane_depth():
+    """Fuse straight-down views of a plane; the fused SDF must match the
+    analytic distance field near the surface."""
+    cfg = fusion.FusionConfig(voxelsize=0.05)
+    dims, w2g = fusion.grid_from_bounds([-0.4, -0.4, 0.0], [0.4, 0.4, 1.0], cfg)
+    sc = scan.ScanConfig(width=128, height=96, fx=120.0, fy=120.0)
+    # camera 1m above the plane looking straight down (world z up)
+    cam = np.array(
+        [[1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, 1.5], [0, 0, 0, 1]], np.float32
+    )
+    verts, faces = _plane_mesh(z0=0.5)
+    pts = mesh_ops.sample_point_cloud(verts, faces, 200000, seed=0)
+    depth, _ = scan.render_depth_from_points(pts, None, cam, sc)
+    assert (depth > 0).mean() > 0.3
+
+    grid = fusion.fuse_frames(
+        dims, w2g, [(depth, None, np.array([sc.fx, sc.fy, sc.width / 2, sc.height / 2]), cam)], cfg
+    )
+    sdf = np.asarray(grid["sdf"])
+    # voxel at world (0, 0, 0.7) is 0.2 above the plane -> sdf ~ +0.2 (clamped
+    # to the adaptive truncation ~0.2) ; voxel at (0,0,0.5) -> ~0
+    g = w2g @ np.array([0, 0, 0.5, 1.0])
+    vz, vy, vx = int(round(g[2])), int(round(g[1])), int(round(g[0]))
+    assert np.isfinite(sdf[vz, vy, vx])
+    assert abs(sdf[vz, vy, vx]) < 0.06
+    g2 = w2g @ np.array([0, 0, 0.6, 1.0])
+    v2 = sdf[int(round(g2[2])), vy, vx]
+    assert v2 == pytest.approx(0.1, abs=0.06)
+
+
+def test_known_encoding():
+    vs = 0.05
+    sdf = np.array([[[0.2, 0.03, -0.03, -0.2, -np.inf]]], np.float32)
+    k = fusion.known_encoding(sdf, vs)
+    assert k[0, 0, 0] == 0  # known empty
+    assert k[0, 0, 1] == 1  # surface
+    assert k[0, 0, 2] == 1
+    assert 2 <= k[0, 0, 3] <= 255  # behind surface
+    assert k[0, 0, 4] == 255  # unobserved
+
+
+def test_virtual_scan_end_to_end(tmp_path):
+    """Scan a synthetic room mesh -> __inc__/__cmp__ files load and feed the
+    chunk assembly path."""
+    from spsg_tpu.data import pipeline
+
+    # box room: floor plane with a box on it
+    zz = 0.0
+    verts, faces = _plane_mesh(z0=zz, half=1.0)
+    colors = np.full((len(verts), 3), 180, np.uint8)
+    center = np.array([0.0, 0.0, 0.0])
+    traj = scan.orbit_trajectory(center, radius=1.5, height=1.2, num_frames=8)
+    cfg = fusion.FusionConfig(voxelsize=0.05)
+    inc = str(tmp_path / "room__inc__0")
+    cmp_ = str(tmp_path / "room__cmp__0")
+    dims, w2g = scan.virtual_scan(
+        verts, faces, colors, traj, inc, cmp_, fusion_cfg=cfg, seed=3
+    )
+    inc_data = formats.load_sdf(inc + ".sdf")
+    cmp_data = formats.load_sdf(cmp_ + ".sdf")
+    assert len(cmp_data.locs) >= len(inc_data.locs) > 0
+    known, vs, _ = formats.load_known(cmp_ + ".knw")
+    assert known.shape == cmp_data.dims
+    assert vs == pytest.approx(0.05)
+
+
+def test_splat_semantics():
+    w2g = np.eye(4)
+    w2g[:3, :3] *= 10.0  # voxelsize 0.1
+    pts = np.array([[0.55, 0.35, 0.25]])
+    labels = np.array([5])
+    dense = semantics.splat_semantics(pts, labels, w2g, (8, 8, 8))
+    # rounded point (x=6 (5.5->6), y=4 (3.5->4), z=2 (2.5->2, round-half-even))
+    assert dense[2, 4, 6] == 5 or dense[3, 4, 6] == 5
+    # floor-cube corners labeled too
+    assert dense[2, 3, 5] == 5
+    assert (dense == 5).sum() >= 8
+    assert (dense == semantics.UNLABELED).sum() > 400
+
+
+def test_extend_sdf_file_roundtrip(tmp_path, rng):
+    dims = (8, 8, 8)
+    locs = np.array([[2, 2, 2], [3, 3, 3]], np.int32)
+    sdf = np.array([0.5, -0.5], np.float32)
+    w2g = np.eye(4, dtype=np.float32) * 10.0
+    w2g[3, 3] = 1.0
+    known = np.zeros(dims, np.uint8)
+    colors = np.zeros(dims + (3,), np.uint8)
+    src = str(tmp_path / "c__cmp__0.sdf")
+    formats.save_sdf(src, dims, 0.1, w2g, locs, sdf, known=known, colors=colors)
+    out = str(tmp_path / "c__sem__0.sdf")
+    pts = np.array([[0.25, 0.25, 0.25]])
+    semantics.extend_sdf_file(src, out, pts, np.array([7]))
+    data = formats.load_sdf(out, load_known=True, load_color=True, load_semantic=True)
+    assert data.semantics is not None
+    assert (data.semantics == 7).sum() >= 8
