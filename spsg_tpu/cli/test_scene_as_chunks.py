@@ -79,8 +79,9 @@ def main(argv=None):
     if args.synthetic_scenes > 0:
         from ..data import pipeline, synthetic
 
+        scene_dims = (chunk_dims[0], chunk_dims[1] * 5 // 2, chunk_dims[2] * 3)
         for i in range(args.synthetic_scenes):
-            s = synthetic.make_scene(dims=(128, 160, 192), seed=100 + i)
+            s = synthetic.make_scene(dims=scene_dims, seed=100 + i)
             sample = pipeline.assemble_sample(
                 s.sdf_input, s.sdf_complete, s.input_colors, s.colors, s.semantics,
                 s.known, s.world2grid, args.truncation, args.color_space, None,
