@@ -30,6 +30,7 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--mode", choices=["full", "geo"], default="full")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 conv compute")
     args = p.parse_args()
 
     from spsg_tpu.data import synthetic
@@ -45,6 +46,7 @@ def main():
         weight_disc_loss=0.5 if full else 0.0,
         weight_depth_loss=1.0 if full else 0.0,
         max_depth_fill_iters=0,  # synthetic frames are hole-free
+        compute_dtype="bfloat16" if args.bf16 else None,
     )
     print(f"[bench] building synthetic batch (dims={dims}, B={args.batch_size})", file=sys.stderr)
     batch = synthetic.make_chunk_batch(

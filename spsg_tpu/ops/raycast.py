@@ -63,6 +63,20 @@ class RaycastConfig:
     thresh_sample_dist: float = 50.5 * 0.9
     max_dir_slack: float = 1.45  # bounds depthToRayLength for the step count
     bisection_iters: int = 3
+    # fast_march: coarse pass uses nearest-voxel int8 sign/validity lookups
+    # (1 byte/sample instead of a 32-byte trilerp cell row) at
+    # coarse_step_factor x the ray increment to bracket the crossing, then
+    # confirms each candidate in-loop with exact trilerp samples
+    # (unconfirmed rays keep marching). The narrowest sign band of a
+    # truncated SDF shell is (truncation - 1) voxels wide after nearest-voxel
+    # rounding (the +-truncation boundary voxels are invalid), so with the
+    # default truncation 3 / increment 0.9 the coarse step must stay <= 2.0
+    # voxels: factor 2.0 * 0.9 = 1.8.
+    # Default off: on real scenes the nearest-voxel coarse pass misses ~10%
+    # of grazing-ray hits (the NN sign bands fragment along oblique rays);
+    # the exact march keeps reference semantics.
+    fast_march: bool = False
+    coarse_step_factor: float = 2.0
 
     @property
     def max_steps(self) -> int:
@@ -184,20 +198,42 @@ def _cell_trilerp(cells_flat, pos_x, pos_y, pos_z, dims):
     return jnp.where(ok, val, jnp.nan), ok
 
 
-def _ray_aabb(origin, direction, dims):
-    """Per-ray [t_enter, t_exit] against the grid AABB (slab method); used to
-    bound the march — a TPU-side improvement over the reference's full-range
-    loop."""
-    lo = jnp.zeros((3,), jnp.float32) - 1.0
-    hi = jnp.array([dims[2], dims[1], dims[0]], jnp.float32)  # x, y, z extents
+def _ray_aabb(origin, direction, lo, hi):
+    """Per-ray [t_enter, t_exit] against a per-batch AABB (slab method); used
+    to bound the march — a TPU-side improvement over the reference's
+    full-range loop. lo/hi: (B, 3) in xyz order."""
     o = origin[:, None, :]
     d = direction
     inv = jnp.where(jnp.abs(d) > 1e-9, 1.0 / d, jnp.sign(d) * 1e9 + 1e9)
-    t0 = (lo - o) * inv
-    t1 = (hi - o) * inv
+    t0 = (lo[:, None, :] - o) * inv
+    t1 = (hi[:, None, :] - o) * inv
     tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
     tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
     return tmin, tmax
+
+
+def _valid_bounds(valid):
+    """Tight per-batch xyz bounds of the valid voxels (B, 3) lo / hi: rays
+    are clipped to the occupied region, not the whole grid — far fewer march
+    samples when geometry fills only part of the volume."""
+    B, Z, Y, X = valid.shape
+    vz = jnp.any(valid, axis=(2, 3))  # (B, Z)
+    vy = jnp.any(valid, axis=(1, 3))
+    vx = jnp.any(valid, axis=(1, 2))
+
+    def lo_hi(v, n):
+        idx = jnp.arange(n, dtype=jnp.float32)
+        big = jnp.float32(n)
+        lo = jnp.min(jnp.where(v, idx, big), axis=1)
+        hi = jnp.max(jnp.where(v, idx, -1.0), axis=1)
+        return lo, hi
+
+    zlo, zhi = lo_hi(vz, Z)
+    ylo, yhi = lo_hi(vy, Y)
+    xlo, xhi = lo_hi(vx, X)
+    lo = jnp.stack([xlo, ylo, zlo], axis=-1) - 1.5
+    hi = jnp.stack([xhi, yhi, zhi], axis=-1) + 1.5
+    return lo, hi
 
 
 MARCH_BLOCK = 32  # march steps evaluated per while-loop iteration
@@ -223,9 +259,10 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
     # rayCurrent/rayEnd in ray-length units (kernel :194-197)
     t_start = cfg.depth_min / cam_z
     t_end = cfg.depth_max / cam_z
-    t_enter, t_exit = _ray_aabb(origin, direction, dims)
-    # skip empty space before the volume (snapped to the global step grid so
-    # results stay step-aligned per pixel)
+    lo_b, hi_b = _valid_bounds(valid)
+    t_enter, t_exit = _ray_aabb(origin, direction, lo_b, hi_b)
+    # skip empty space before the occupied region (snapped to the global step
+    # grid so results stay step-aligned per pixel)
     skip = jnp.maximum(jnp.floor((t_enter - t_start) / cfg.ray_increment), 0.0)
     t0 = t_start + skip * cfg.ray_increment
     t_stop = jnp.minimum(t_end, t_exit + cfg.ray_increment)
@@ -249,12 +286,47 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
             pz = oz + t * dz
         return _cell_trilerp(cells_flat, px, py, pz, dims)
 
-    d0, _ = sample(t0)
-    n_blocks = -(-cfg.max_steps // MARCH_BLOCK)
+    if cfg.fast_march:
+        # nearest-voxel int8 codes: 0 invalid, 1 sdf >= 0, 2 sdf < 0
+        state = jnp.where(
+            valid, jnp.where(sdf >= 0, jnp.int8(1), jnp.int8(2)), jnp.int8(0)
+        ).reshape(B, -1)
+        Z, Y, X = dims
+
+        def sample_code(t):
+            if t.ndim == 3:
+                px = ox[..., None] + t * dx[..., None]
+                py = oy[..., None] + t * dy[..., None]
+                pz = oz[..., None] + t * dz[..., None]
+            else:
+                px = ox + t * dx
+                py = oy + t * dy
+                pz = oz + t * dz
+            ix = jnp.floor(px + 0.5).astype(jnp.int32)
+            iy = jnp.floor(py + 0.5).astype(jnp.int32)
+            iz = jnp.floor(pz + 0.5).astype(jnp.int32)
+            inb = (ix >= 0) & (iy >= 0) & (iz >= 0) & (ix < X) & (iy < Y) & (iz < Z)
+            idx = _flat_index(
+                jnp.clip(ix, 0, X - 1), jnp.clip(iy, 0, Y - 1), jnp.clip(iz, 0, Z - 1), dims
+            )
+            code = jnp.take_along_axis(
+                state, idx.reshape(B, -1), axis=1, mode="clip"
+            ).reshape(idx.shape)
+            return jnp.where(inb, code, jnp.int8(0))
+
+        step = cfg.ray_increment * cfg.coarse_step_factor
+        prev0 = sample_code(t0)
+    else:
+        step = cfg.ray_increment
+        d0, _ = sample(t0)
+        prev0 = d0
+
+    total_span = (cfg.depth_max - cfg.depth_min) * cfg.max_dir_slack
+    n_blocks = int(math.ceil(total_span / (step * MARCH_BLOCK)))
 
     init = dict(
         blk=jnp.zeros((), jnp.int32),
-        prev=d0,  # NaN when invalid
+        prev=prev0,
         found=jnp.zeros((B, P), bool),
         t_lo=jnp.zeros((B, P), jnp.float32),
         d_lo=jnp.zeros((B, P), jnp.float32),
@@ -265,35 +337,79 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
     offs = jnp.arange(1, MARCH_BLOCK + 1, dtype=jnp.float32)
 
     def cond(c):
-        t_next = t0 + (c["blk"] * MARCH_BLOCK + 1).astype(jnp.float32) * cfg.ray_increment
+        t_next = t0 + (c["blk"] * MARCH_BLOCK + 1).astype(jnp.float32) * step
         alive = ~c["found"] & (t_next <= t_stop)
         return (c["blk"] < n_blocks) & jnp.any(alive)
 
     def body(c):
         base = (c["blk"] * MARCH_BLOCK).astype(jnp.float32)
-        t = t0[..., None] + (base + offs) * cfg.ray_increment  # (B, P, K)
-        v, _ = sample(t)  # NaN-coded invalid
-        vext = jnp.concatenate([c["prev"][..., None], v], axis=-1)  # (B,P,K+1)
-        prev_v = vext[..., :-1]
+        t = t0[..., None] + (base + offs) * step  # (B, P, K)
         in_range = t <= t_stop[..., None]
-        # NaN comparisons are False, so validity of both samples is implied
-        crossing = (
-            in_range
-            & (prev_v * v < 0)
-            & (jnp.abs(prev_v - v) < cfg.thresh_sample_dist)
-            & (jnp.abs(v) < cfg.thresh_sample_dist)
-        )
+        # finished/out-of-range rays sample a fixed position: the TPU gather
+        # unit is locality-sensitive, so constant indices are ~30% cheaper
+        dead = c["found"] | (t0 + base * step > t_stop)
+        t = jnp.where(dead[..., None], t0[..., None], t)
+        if cfg.fast_march:
+            v = sample_code(t)  # int8 codes
+            vext = jnp.concatenate([c["prev"][..., None], v], axis=-1)
+            prev_v = vext[..., :-1]
+            crossing = in_range & (prev_v + v == 3)  # (1,2) or (2,1)
+        else:
+            v, _ = sample(t)  # NaN-coded trilerp values
+            vext = jnp.concatenate([c["prev"][..., None], v], axis=-1)
+            prev_v = vext[..., :-1]
+            # NaN comparisons are False, so validity of both samples is implied
+            crossing = (
+                in_range
+                & (prev_v * v < 0)
+                & (jnp.abs(prev_v - v) < cfg.thresh_sample_dist)
+                & (jnp.abs(v) < cfg.thresh_sample_dist)
+            )
         any_cross = jnp.any(crossing, axis=-1)
         first = jnp.argmax(crossing, axis=-1)  # (B, P)
         t_hit = jnp.take_along_axis(t, first[..., None], axis=-1)[..., 0]
+        if cfg.fast_march:
+            # confirm each coarse candidate with exact trilerp samples over
+            # the bracket (padded half a fine step on both sides — nearest
+            # and interpolated signs can disagree by < 1 voxel); unconfirmed
+            # rays keep marching
+            n_fine = int(math.ceil(cfg.coarse_step_factor)) + 2
+            span = step + cfg.ray_increment
+            fr = jnp.arange(n_fine, dtype=jnp.float32) / (n_fine - 1)
+            ts = (t_hit - step - 0.5 * cfg.ray_increment)[..., None] + fr * span
+            ts = jnp.where((any_cross & ~c["found"])[..., None], ts, t0[..., None])
+            vs, _ = sample(ts)
+            pv = vs[..., :-1]
+            nv = vs[..., 1:]
+            pair_cross = (
+                (pv * nv < 0)
+                & (jnp.abs(pv - nv) < cfg.thresh_sample_dist)
+                & (jnp.abs(nv) < cfg.thresh_sample_dist)
+            )
+            has_pair = jnp.any(pair_cross, axis=-1)
+            pidx = jnp.argmax(pair_cross, axis=-1)
+            record = any_cross & has_pair & ~c["found"]
+            t_lo = jnp.take_along_axis(ts, pidx[..., None], axis=-1)[..., 0]
+            t_hi2 = jnp.take_along_axis(ts, pidx[..., None] + 1, axis=-1)[..., 0]
+            d_lo = jnp.take_along_axis(vs, pidx[..., None], axis=-1)[..., 0]
+            d_hi = jnp.take_along_axis(vs, pidx[..., None] + 1, axis=-1)[..., 0]
+            return dict(
+                blk=c["blk"] + 1,
+                prev=v[..., -1],
+                found=c["found"] | record,
+                t_lo=jnp.where(record, t_lo, c["t_lo"]),
+                d_lo=jnp.where(record, d_lo, c["d_lo"]),
+                t_hi=jnp.where(record, t_hi2, c["t_hi"]),
+                d_hi=jnp.where(record, d_hi, c["d_hi"]),
+            )
+        record = any_cross & ~c["found"]
         d_hit = jnp.take_along_axis(v, first[..., None], axis=-1)[..., 0]
         d_prev = jnp.take_along_axis(prev_v, first[..., None], axis=-1)[..., 0]
-        record = any_cross & ~c["found"]
         return dict(
             blk=c["blk"] + 1,
             prev=v[..., -1],
             found=c["found"] | record,
-            t_lo=jnp.where(record, t_hit - cfg.ray_increment, c["t_lo"]),
+            t_lo=jnp.where(record, t_hit - step, c["t_lo"]),
             d_lo=jnp.where(record, d_prev, c["d_lo"]),
             t_hi=jnp.where(record, t_hit, c["t_hi"]),
             d_hi=jnp.where(record, d_hit, c["d_hi"]),
@@ -479,7 +595,8 @@ def raycast_occ(
     origin, direction, cam_z = _camera_rays(view, intrinsics, cfg.width, cfg.height)
     t_start = cfg.depth_min / cam_z
     t_end = cfg.depth_max / cam_z
-    t_enter, t_exit = _ray_aabb(origin, direction, dims)
+    lo_b, hi_b = _valid_bounds(occ != 0)
+    t_enter, t_exit = _ray_aabb(origin, direction, lo_b, hi_b)
     skip = jnp.maximum(jnp.floor((t_enter - t_start) / cfg.ray_increment), 0.0)
     t0 = t_start + skip * cfg.ray_increment
     t_stop = jnp.minimum(t_end, t_exit + cfg.ray_increment)

@@ -230,29 +230,13 @@ class Trainer:
 
         view_inv_rot = jnp.linalg.inv(view)[:, :3, :3]
 
-        # --- input raycast (train.py:556-577) ---
+        # --- input grids (train.py:556-577) ---
         input_sdf = batch["input"][..., 0]
         input_valid = jnp.abs(input_sdf) < trunc
         input_colors01 = batch["input"][..., 1:4]
         input_normals = normals3d.surface_normals(
             input_sdf, jnp.ones_like(input_valid), view_inv_rot
         )
-        rc_in = raycast(
-            jax.lax.stop_gradient(input_sdf),
-            input_valid,
-            input_colors01,
-            input_normals,
-            None,
-            view,
-            intr,
-            rc,
-        )
-        normals_in = _sanitize(rc_in.normal)
-        if flags.pred_color:
-            in_color = _sanitize(rc_in.color * 2.0 - 1.0)
-            input2d = jnp.concatenate([in_color, normals_in], axis=-1)
-        else:
-            input2d = normals_in
 
         # --- per-pixel color weights for missing regions (train.py:546-554) ---
         weight_color = None
@@ -264,20 +248,67 @@ class Trainer:
             tgt_mask2d = raycast_occ(jnp.abs(target_sdf) < 1, view, intr, rc).astype(bool)
             weight_color = jnp.where(tgt_mask2d & missing2d, cfg.weight_missing_color, 1.0)
 
-        # --- projected-target raycast (train.py:579-616) ---
+        # --- target grids (train.py:579-616) ---
+        tgt_valid = jnp.abs(target_sdf) < trunc
+        tgt_colors01 = batch["target_colors"] / 255.0
+        tgt_normals = jax.lax.stop_gradient(
+            normals3d.surface_normals(target_sdf, tgt_valid, view_inv_rot)
+        )
+        sem_onehot = jax.nn.one_hot(batch["semantics"].astype(jnp.int32), 15)[..., :14]
+
+        # --- prediction grids (train.py:617-632) ---
+        pred_normals = normals3d.surface_normals(pred_sdf_g, surface_pred, view_inv_rot)
+        color01 = (
+            (pred_color + 1.0) * 0.5
+            if flags.pred_color
+            else jnp.zeros(pred_sdf_g.shape + (3,), jnp.float32)
+        )
+        semantic_grid = (
+            pred_sem
+            if flags.pred_semantic
+            else jnp.full(pred_sdf_g.shape + (14,), 14.0, jnp.float32)
+        )
+
+        # --- one fused raycast for input + projected-target + prediction ---
+        # (the reference launches three separate CUDA raycasts,
+        # train.py:563,590,626; stacking them along the batch axis runs one
+        # march while_loop instead of three — the march dominates 2D cost)
+        n_stack = 3 if cfg.project_targets else 2
+        stack = lambda *xs: jnp.concatenate(xs, axis=0)
+        sg = jax.lax.stop_gradient
+        if cfg.project_targets:
+            s_sdf = stack(sg(input_sdf), sg(target_sdf), pred_sdf_g)
+            s_valid = stack(input_valid, tgt_valid, surface_pred)
+            s_color = stack(sg(input_colors01), sg(tgt_colors01), color01)
+            s_norm = stack(sg(input_normals), tgt_normals, pred_normals)
+            s_sem = stack(jnp.zeros_like(sem_onehot), sg(sem_onehot), semantic_grid)
+        else:
+            s_sdf = stack(sg(input_sdf), pred_sdf_g)
+            s_valid = stack(input_valid, surface_pred)
+            s_color = stack(sg(input_colors01), color01)
+            s_norm = stack(sg(input_normals), pred_normals)
+            s_sem = stack(jnp.zeros_like(semantic_grid), semantic_grid)
+        s_view = jnp.concatenate([view] * n_stack, axis=0)
+        s_intr = jnp.concatenate([intr] * n_stack, axis=0)
+        rc_all = raycast(s_sdf, s_valid, s_color, s_norm, s_sem, s_view, s_intr, rc)
+        rc_in = jax.tree_util.tree_map(lambda a: sg(a[:B]), rc_all)
+        if cfg.project_targets:
+            rc_tgt = jax.tree_util.tree_map(lambda a: sg(a[B : 2 * B]), rc_all)
+            rc_pred = jax.tree_util.tree_map(lambda a: a[2 * B :], rc_all)
+        else:
+            rc_tgt = None
+            rc_pred = jax.tree_util.tree_map(lambda a: a[B:], rc_all)
+
+        normals_in = _sanitize(rc_in.normal)
+        if flags.pred_color:
+            in_color = _sanitize(rc_in.color * 2.0 - 1.0)
+            input2d = jnp.concatenate([in_color, normals_in], axis=-1)
+        else:
+            input2d = normals_in
+
         target2d = None
         target2d_label = None
         if cfg.project_targets:
-            tgt_valid = jnp.abs(target_sdf) < trunc
-            tgt_colors01 = batch["target_colors"] / 255.0
-            tgt_normals = normals3d.surface_normals(target_sdf, tgt_valid, view_inv_rot)
-            sem_onehot = None
-            if flags.pred_semantic:
-                sem_onehot = jax.nn.one_hot(batch["semantics"].astype(jnp.int32), 15)[..., :14]
-            rc_tgt = raycast(
-                target_sdf, tgt_valid, tgt_colors01, tgt_normals, sem_onehot, view, intr, rc
-            )
-            rc_tgt = jax.tree_util.tree_map(jax.lax.stop_gradient, rc_tgt)
             if cfg.filter_proj_tgt:
                 invalid_c = twod_losses.filter_proj_target(
                     rc_tgt.color, cfg.color_thresh, cfg.color_space
@@ -292,22 +323,6 @@ class Trainer:
                 target2d = t_norm
             if flags.pred_semantic:
                 target2d_label = sem_losses.rendered_semantic_label(rc_tgt.semantic)
-
-        # --- prediction raycast (train.py:617-632) ---
-        pred_normals = normals3d.surface_normals(pred_sdf_g, surface_pred, view_inv_rot)
-        color01 = (
-            (pred_color + 1.0) * 0.5
-            if flags.pred_color
-            else jnp.zeros(pred_sdf_g.shape + (3,), jnp.float32)
-        )
-        semantic_grid = (
-            pred_sem
-            if flags.pred_semantic
-            else jnp.full(pred_sdf_g.shape + (14,), 14.0, jnp.float32)
-        )
-        rc_pred = raycast(
-            pred_sdf_g, surface_pred, color01, pred_normals, semantic_grid, view, intr, rc
-        )
 
         # --- depth L1 (train.py:634-641) ---
         loss_depth = twod_losses.depth_l1_loss(rc_pred.depth, images_depth, cfg.voxelsize)

@@ -1,0 +1,80 @@
+"""Full data-path integration: virtual scan -> room scene files -> chunk
+cutting -> semantic extension -> ChunkDataset -> collate -> one train step.
+Covers the entire offline + online pipeline with zero external data."""
+
+import os
+
+import jax
+import numpy as np
+
+from spsg_tpu.data import formats, pipeline
+from spsg_tpu.datagen import chunks, fusion, scan, semantics
+from spsg_tpu.training import StepFlags, TrainConfig
+from spsg_tpu.training.state import init_states
+from spsg_tpu.training.step import Trainer
+
+DIMS = (16, 16, 16)
+
+
+def _make_room_chunks(tmp_path, name, seed):
+    verts = np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    colors = np.full((4, 3), 150, np.uint8)
+    traj = scan.orbit_trajectory(np.zeros(3), radius=1.4, height=1.1, num_frames=6)
+    cfg = fusion.FusionConfig(voxelsize=0.08)
+    inc = str(tmp_path / f"{name}_scan_inc")
+    cmp_ = str(tmp_path / f"{name}_scan_cmp")
+    scan.virtual_scan(verts, faces, colors, traj, inc, cmp_, fusion_cfg=cfg, seed=seed)
+    chunk_dir = str(tmp_path / "chunks")
+    files = chunks.cut_scene_to_chunks(
+        inc, cmp_, chunk_dir, name, chunk_dims=DIMS, min_surface_voxels=50
+    )
+    assert files, "no chunks produced"
+    # semantic extension: label the floor plane (z=0) as class 5
+    rng = np.random.default_rng(seed)
+    pts = np.stack(
+        [rng.uniform(-1, 1, 800), rng.uniform(-1, 1, 800), np.zeros(800)], axis=1
+    )
+    labels = np.full(800, 5)
+    for f in files:
+        sem_path = f.replace("__inc__", "__sem__")
+        semantics.extend_sdf_file(f.replace("__inc__", "__cmp__"), sem_path, pts, labels)
+    return files
+
+
+def test_scan_to_train_step(tmp_path):
+    files = []
+    for i in range(2):
+        files += _make_room_chunks(tmp_path, f"room{i}", seed=i)
+    ds = pipeline.ChunkDataset(files, truncation=3.0, load_semantic=True, augment_hue=True)
+    assert len(ds) >= 2
+    s0 = ds[0]
+    assert s0["input"].shape == DIMS + (4,)
+    assert s0["semantics"].max() <= 14
+    assert (s0["semantics"] == 5).sum() > 0  # splatted floor labels survived
+    assert s0["known"].min() <= 1  # known space present
+
+    batch = pipeline.collate([ds[0], ds[1]])
+    batch.pop("name")
+    batch["weight_occ"] = np.ones(())
+
+    cfg = TrainConfig(input_dim=DIMS, nf_gen=4, batch_size=2,
+                      weight_disc_loss=0.0, weight_depth_loss=0.0)
+    gen_state, _ = init_states(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg)
+    flags = StepFlags(pred_sdf=True, pred_color=True, pred_semantic=True)
+    _, _, metrics = trainer.step(gen_state, None, batch, jax.random.PRNGKey(1), flags)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_semantic"]))
+
+
+def test_batch_iterator(tmp_path):
+    files = _make_room_chunks(tmp_path, "roomX", seed=7)
+    ds = pipeline.ChunkDataset(files, truncation=3.0, load_semantic=True)
+    n = 0
+    for batch in pipeline.batch_iterator(ds, batch_size=1, shuffle=True, seed=0):
+        assert batch["input"].shape[0] == 1
+        n += 1
+    assert n == len(ds)

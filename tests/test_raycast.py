@@ -188,6 +188,42 @@ def test_gradient_scatter_semantics():
     np.testing.assert_allclose(gs[np.abs(gs) > 1e-8], 1.0, atol=1e-5)
 
 
+def test_fast_march_matches_exact():
+    """fast_march (int8 coarse + trilerp refine) must agree with the exact
+    full-trilerp march on hit mask and depth."""
+    import dataclasses
+
+    dims = (64, 64, 64)
+    Z, Y, X = dims
+    c = np.array([24.0, 32.0, 32.0])
+    zz, yy, xx = np.meshgrid(
+        np.arange(Z, dtype=np.float32),
+        np.arange(Y, dtype=np.float32),
+        np.arange(X, dtype=np.float32),
+        indexing="ij",
+    )
+    d = np.sqrt((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2) - 12.0
+    sdf = np.clip(d, -3.0, 3.0).astype(np.float32)
+    valid = np.abs(sdf) < 3.0
+    view, intr = _down_camera(dims, 60.0)
+    cfg_fast = _cfg()
+    cfg_exact = dataclasses.replace(cfg_fast, fast_march=False)
+
+    outs = {}
+    for name, cfg in (("fast", cfg_fast), ("exact", cfg_exact)):
+        out = raycast.raycast(
+            jnp.asarray(sdf[None]), jnp.asarray(valid[None]), None, None, None,
+            jnp.asarray(view[None]), jnp.asarray(intr[None]), cfg,
+        )
+        outs[name] = np.asarray(out.depth)[0]
+    hit_f = outs["fast"] != -np.inf
+    hit_e = outs["exact"] != -np.inf
+    # hit masks agree except possibly at a few grazing pixels
+    assert (hit_f != hit_e).mean() < 0.02
+    both = hit_f & hit_e
+    assert np.abs(outs["fast"][both] - outs["exact"][both]).max() < 0.5
+
+
 def test_raycast_occ():
     dims = (48, 32, 32)
     occ = np.zeros(dims, dtype=np.uint8)
