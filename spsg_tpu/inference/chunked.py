@@ -154,6 +154,16 @@ def run_chunked_inference(
             pred_semantic=pred_semantic, train=False,
         )
     )
+    put = None
+    if mesh is not None:
+        # shard the window batch over the data axis: the scene's sliding
+        # windows spread across chips (SURVEY.md §5's context-parallel analog)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("data"))
+
+        def put(a):
+            return jax.device_put(a, sharding)
 
     # scene accumulators (test_scene_as_chunks.py:136-140)
     acc_sdf = np.zeros(scene_dims, np.float64)
@@ -171,6 +181,9 @@ def run_chunked_inference(
     for start in range(0, len(chunks), window_batch):
         cb = jnp.asarray(chunks[start : start + window_batch])
         mb = jnp.asarray(masks[start : start + window_batch])
+        if put is not None:
+            cb = put(cb)
+            mb = put(mb)
         occ_l, sdf_p, color_p, sem_p = fwd(cb, mb)
         occ_l = np.asarray(occ_l)[..., 0]
         sdf_p = np.asarray(sdf_p)[..., 0]

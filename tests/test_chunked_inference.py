@@ -81,3 +81,20 @@ def test_iou_txt(tmp_path):
     content = open(p).read()
     assert content.startswith("0.5")
     assert "Mean: 0.25" in content
+
+
+def test_chunked_inference_sharded_over_mesh():
+    """Window batches shard over the 8-device data axis."""
+    import jax as _jax
+    from spsg_tpu.parallel import make_mesh
+
+    cfg, gen, variables = _setup()
+    sample = _scene_sample((16, 40, 48), seed=6)
+    mesh = make_mesh(_jax.devices()[:8])
+    out = chunked.run_chunked_inference(
+        gen, variables, sample["input"], sample["mask"], sample["target_sdf"],
+        sample["known"], sample["semantics"], chunk_dims=CHUNK,
+        stride=8, pad=2, max_height=CHUNK[0], window_batch=8, mesh=mesh,
+    )
+    assert out.counts.max() >= 1
+    assert np.isfinite(out.sdf[out.counts > 0]).all()
