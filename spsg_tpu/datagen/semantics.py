@@ -98,6 +98,85 @@ def write_scene_semantics(
     formats.save_semantics(output_semantics_path, dense)
 
 
+def read_labeled_ply(path: str):
+    """Read a Matterport region-segmentation PLY: vertices + faces with a
+    per-face ``category_id`` property (reference sample_util.py:45-67 via
+    plyfile). Binary little-endian only. Returns (verts (N,3) float32,
+    faces (M,3) int64, face_category (M,) int64)."""
+    import struct as _struct
+
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        n_verts = n_faces = 0
+        elem = None
+        vprops = []
+        fprops = []  # non-list face properties after the vertex_indices list
+        tmap = {"float": ("<f4", 4), "float32": ("<f4", 4), "double": ("<f8", 8),
+                "uchar": ("u1", 1), "uint8": ("u1", 1), "char": ("i1", 1),
+                "int": ("<i4", 4), "int32": ("<i4", 4), "uint": ("<u4", 4),
+                "short": ("<i2", 2), "ushort": ("<u2", 2)}
+        for l in header:
+            t = l.split()
+            if t[0] == "element":
+                elem = t[1]
+                if elem == "vertex":
+                    n_verts = int(t[2])
+                elif elem == "face":
+                    n_faces = int(t[2])
+            elif t[0] == "property":
+                if elem == "vertex" and t[1] != "list":
+                    vprops.append((t[2], tmap[t[1]][0]))
+                elif elem == "face":
+                    if t[1] == "list":
+                        fprops.append(("__list__", tmap[t[2]][0], tmap[t[3]][0]))
+                    else:
+                        fprops.append((t[2], tmap[t[1]][0]))
+        vdt = np.dtype([(n, d) for n, d in vprops])
+        vdata = np.frombuffer(f.read(n_verts * vdt.itemsize), dtype=vdt)
+        verts = np.stack([vdata["x"], vdata["y"], vdata["z"]], 1).astype(np.float32)
+        faces = np.zeros((n_faces, 3), np.int64)
+        cats = np.zeros(n_faces, np.int64)
+        for i in range(n_faces):
+            for prop in fprops:
+                if prop[0] == "__list__":
+                    cnt_dt, idx_dt = np.dtype(prop[1]), np.dtype(prop[2])
+                    cnt = int(np.frombuffer(f.read(cnt_dt.itemsize), cnt_dt)[0])
+                    idx = np.frombuffer(f.read(idx_dt.itemsize * cnt), idx_dt)
+                    faces[i] = idx[:3]
+                else:
+                    dt = np.dtype(prop[1])
+                    val = np.frombuffer(f.read(dt.itemsize), dt)[0]
+                    if prop[0] == "category_id":
+                        cats[i] = int(val)
+    return verts, faces, cats
+
+
+def sample_labeled_mesh(verts, faces, face_category, samples_per_face: int = 4, seed: int = 0):
+    """Barycentric samples with the owning face's category id (reference
+    sample_util.sample_point_cloud with per-face category, :5-42).
+    Returns (points (K,3), categories (K,))."""
+    rng = np.random.default_rng(seed)
+    v0 = verts[faces[:, 0]]
+    v1 = verts[faces[:, 1]]
+    v2 = verts[faces[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    total = max(areas.sum(), 1e-12)
+    n = samples_per_face * len(faces)
+    fidx = rng.choice(len(faces), size=n, p=areas / total)
+    r1 = np.sqrt(rng.random(n))
+    r2 = rng.random(n)
+    a = 1.0 - r1
+    b = r1 * (1.0 - r2)
+    c = r1 * r2
+    pts = a[:, None] * v0[fidx] + b[:, None] * v1[fidx] + c[:, None] * v2[fidx]
+    return pts.astype(np.float32), face_category[fidx]
+
+
 def labels_from_category_mapping(
     raw_categories: np.ndarray, mapping_tsv: str, column: str = "eigen13id"
 ) -> np.ndarray:

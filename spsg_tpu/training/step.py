@@ -186,8 +186,13 @@ class Trainer:
         target_img = None
         valid_patches = None
         gate2d = jnp.zeros(())
+        sw_real = None
+        sw_fake = None
         if flags.use_2d:
-            (loss2d, synth, target_img, valid_patches, gate2d, metrics2d) = self._2d_losses(
+            (
+                loss2d, synth, target_img, valid_patches, gate2d, metrics2d,
+                sw_real, sw_fake,
+            ) = self._2d_losses(
                 batch, flags, target_sdf, input_occ, pred_sdf_g, pred_color, pred_sem,
                 surface_pred,
             )
@@ -200,6 +205,8 @@ class Trainer:
             target_img=target_img,
             valid_patches=valid_patches,
             gate2d=gate2d,
+            sample_weight_real=sw_real,
+            sample_weight_fake=sw_fake,
         )
         if synth is None:
             synth = jnp.zeros((batch["input"].shape[0], 1, 1, 1), jnp.float32)
@@ -413,8 +420,25 @@ class Trainer:
                 jnp.concatenate([input2d, tgt_r], axis=-1)
             )
 
+        # --- per-sample percent-pixel weights (train.py:597-632, 705-715) ---
+        sample_weight_real = None
+        sample_weight_fake = None
+        if cfg.weight_by_percent_pixels:
+            if cfg.project_targets and rc_tgt is not None:
+                tgt_invalid = invalid_c[..., 0]
+                w = 1.0 - jnp.mean(tgt_invalid.astype(jnp.float32), axis=(1, 2))
+                sample_weight_real = jnp.clip(w, 0.0, 0.3) / 0.3
+            w = jnp.mean(
+                (jax.lax.stop_gradient(rc_pred.color[..., 0]) != NEG_INF).astype(jnp.float32),
+                axis=(1, 2),
+            )
+            sample_weight_fake = jnp.clip(w, 0.0, 0.3) / 0.3
+
         gate = gate2d * gate_numvalid
-        return loss2d, synth, target_img, valid_patches, gate, metrics
+        return (
+            loss2d, synth, target_img, valid_patches, gate, metrics,
+            sample_weight_real, sample_weight_fake,
+        )
 
     def _step(self, flags: StepFlags, gen_state: GenState, disc_state, batch, rng):
         cfg = self.cfg
@@ -432,7 +456,7 @@ class Trainer:
             target_img = aux["target_img"]
             valid_patches = aux["valid_patches"]
 
-            def disc_loss_fn(dparams, sstats):
+            def disc_loss_fn(dparams, sstats, gp_rng):
                 d_real, sstats1 = self._disc_apply(dparams, sstats, target_img, flags.train)
                 d_fake, sstats2 = self._disc_apply(dparams, sstats1, synth_sg, flags.train)
                 real_l, fake_l = gan_losses.discriminator_loss(
@@ -441,16 +465,32 @@ class Trainer:
                     d_fake,
                     valid_patches if cfg.patch_disc else None,
                     None,
+                    sample_weight_real=aux["sample_weight_real"]
+                    if cfg.weight_by_percent_pixels and cfg.disc_loss_type != "hinge"
+                    else None,
+                    sample_weight_fake=aux["sample_weight_fake"]
+                    if cfg.weight_by_percent_pixels and cfg.disc_loss_type != "hinge"
+                    else None,
                 )
                 if cfg.disc_loss_type.startswith("wgan"):
+                    # wgan(-gp) scaling + gradient penalty (train.py:718-720)
                     dl = cfg.weight_disc_loss * 0.005 * (real_l + fake_l)
+                    if cfg.disc_loss_type == "wgan_gp" and flags.train:
+                        penalty = gan_losses.gradient_penalty(
+                            lambda x: self._disc_apply(dparams, sstats, x, False)[0],
+                            target_img,
+                            synth_sg,
+                            gp_rng,
+                        )
+                        dl = dl + 10.0 * penalty
                 else:
                     dl = cfg.weight_disc_loss * (real_l + fake_l)
                 return dl, (real_l, fake_l, sstats2)
 
+            rng, gp_rng = jax.random.split(rng)
             (disc_l, (real_l, fake_l, new_sstats)), dgrads = jax.value_and_grad(
                 disc_loss_fn, has_aux=True
-            )(disc_state.params, disc_state.spectral_stats)
+            )(disc_state.params, disc_state.spectral_stats, gp_rng)
             metrics["loss_disc"] = disc_l
             metrics["loss_disc_real"] = real_l
             metrics["loss_disc_fake"] = fake_l

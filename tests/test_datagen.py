@@ -131,3 +131,42 @@ def test_extend_sdf_file_roundtrip(tmp_path, rng):
     data = formats.load_sdf(out, load_known=True, load_color=True, load_semantic=True)
     assert data.semantics is not None
     assert (data.semantics == 7).sum() >= 8
+
+
+def test_labeled_ply_roundtrip_and_sampling(tmp_path):
+    """Region-segmentation PLY reading + per-face-labeled surface sampling
+    (reference sample_util.py:45-67)."""
+    import struct
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 0, 2], [1, 0, 2], [1, 1, 2]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    cats = np.array([5, 12], np.int32)
+    p = str(tmp_path / "region.ply")
+    with open(p, "wb") as f:
+        hdr = [
+            "ply", "format binary_little_endian 1.0",
+            "element vertex 6",
+            "property float x", "property float y", "property float z",
+            "element face 2",
+            "property list uchar int vertex_indices",
+            "property int category_id",
+            "end_header",
+        ]
+        f.write(("\n".join(hdr) + "\n").encode())
+        f.write(verts.astype("<f4").tobytes())
+        for i in range(2):
+            f.write(struct.pack("B", 3))
+            f.write(faces[i].astype("<i4").tobytes())
+            f.write(struct.pack("<i", cats[i]))
+    v2, f2, c2 = semantics.read_labeled_ply(p)
+    np.testing.assert_allclose(v2, verts)
+    np.testing.assert_array_equal(f2, faces)
+    np.testing.assert_array_equal(c2, cats)
+
+    pts, labels = semantics.sample_labeled_mesh(v2, f2, c2, samples_per_face=50)
+    assert len(pts) == 100  # samples_per_face * num_faces
+    # points on the z=0 triangle must carry label 5; z=2 -> 12
+    np.testing.assert_array_equal(labels[np.abs(pts[:, 2]) < 1e-5], 5)
+    np.testing.assert_array_equal(labels[np.abs(pts[:, 2] - 2) < 1e-5], 12)

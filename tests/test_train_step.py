@@ -127,3 +127,20 @@ def test_full_2d_gan_step():
     a = jax.tree_util.tree_leaves(new_gen.params)[0]
     b = jax.tree_util.tree_leaves(same_gen.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_wgan_gp_and_percent_pixel_weights():
+    """wgan_gp gradient penalty + --weight_by_percent_pixels path
+    (reference train.py:597-632, 705-720)."""
+    cfg = _tiny_cfg(disc_loss_type="wgan_gp", weight_by_percent_pixels=True)
+    gen_state, disc_state = init_states(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg)
+    batch = _batch(cfg, with_frames=True)
+    flags = StepFlags(pred_sdf=True, pred_color=True, pred_semantic=True,
+                      use_2d=True, use_disc=True)
+    _, new_disc, metrics = trainer.step(gen_state, disc_state, batch,
+                                        jax.random.PRNGKey(1), flags)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_disc"]))
+    for leaf in jax.tree_util.tree_leaves(new_disc.params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
