@@ -202,6 +202,7 @@ def main(argv=None):
                 sample["target_colors"][:tz] / 255.0
             )
             tsem = None
+            s14 = None
             if "semantics" in sample:
                 import jax.nn
 
@@ -232,7 +233,7 @@ def main(argv=None):
                 pad_inp,
                 np.where(np.isfinite(tgt), tgt, -np.inf),
                 None,
-                sample.get("semantics"),
+                s14,
                 np.where(pred_valid, sdf_p, -np.inf),
                 color_p,
                 sem_p,

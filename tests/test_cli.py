@@ -51,3 +51,24 @@ def test_chunks_eval_cli_synthetic(tmp_path):
     assert 0.0 <= summary["geo_iou"] <= 1.0
     vis = os.listdir(os.path.join(out, "vis"))
     assert any(f.endswith("_target-mesh.ply") for f in vis)
+
+
+def test_scene_eval_cli_synthetic(tmp_path):
+    from spsg_tpu.cli import test_scene as scene_cli
+
+    out = str(tmp_path / "out_scene")
+    scene_cli.main(
+        [
+            "--synthetic_scenes", "1",
+            "--output", out,
+            "--nf_gen", "4",
+            "--max_input_height", "16",
+            "--style_width", "48",
+            "--style_height", "32",
+            "--num_to_vis", "1",
+        ]
+    )
+    files = os.listdir(out)
+    assert any(f.endswith("_pred-mesh.ply") or f.endswith("_target-mesh.ply") for f in files)
+    assert any(f.endswith("_pred.png") for f in files)
+    assert any(f.endswith("_pred-depth.png") for f in files)
