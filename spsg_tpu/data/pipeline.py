@@ -113,6 +113,34 @@ def assemble_sample(
     return sample
 
 
+def rescale_grids(
+    sdf_input, sdf_target, input_colors, target_colors, known, world2grid, scale: float
+):
+    """Nearest-neighbor rescale of all grids by ``scale`` with SDF values
+    scaled accordingly, and world2grid updated (reference
+    scene_dataloader.py:170-192: torch F.interpolate default 'nearest' mode —
+    used when training at a non-native chunk resolution or with
+    scene_subsample_factor > 1)."""
+    from scipy.ndimage import zoom
+
+    def z3(g):
+        return zoom(g, scale, order=0, grid_mode=False)
+
+    sdf_input = z3(sdf_input) * scale
+    sdf_target = z3(sdf_target) * scale
+
+    def zc(c):
+        return np.stack([z3(c[..., i]) for i in range(c.shape[-1])], -1)
+
+    input_colors = zc(input_colors)
+    target_colors = zc(target_colors)
+    if known is not None:
+        known = z3(known)
+    s = np.diag([scale, scale, scale, 1.0]).astype(np.float32)
+    world2grid = (s @ world2grid).astype(np.float32)
+    return sdf_input, sdf_target, input_colors, target_colors, known, world2grid
+
+
 def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     """Stack samples into a batch (reference scene_dataloader.py:15-47)."""
     batch: Dict[str, np.ndarray] = {}
@@ -242,7 +270,13 @@ class ChunkDataset:
         randomize_frames: bool = True,
         num_overfit: int = 0,
         seed: int = 0,
+        input_dim=None,
     ):
+        # rescale chunks when training at a non-native resolution (reference
+        # scene_dataloader.py:170-175: native z-heights are 96/128/160)
+        self.rescale = None
+        if input_dim is not None and input_dim[0] not in (96, 128, 160):
+            self.rescale = float(input_dim[0]) / 128.0
         tgt_tag = "__sem__" if load_semantic else "__cmp__"
         self.pairs = [
             (f, f.replace("__inc__", tgt_tag))
@@ -285,6 +319,22 @@ class ChunkDataset:
         locs, sdf = inp.locs[in_bounds], inp.sdf[in_bounds]
         sdf_input = formats.sparse_to_dense(locs, sdf[:, None], dims, -np.inf)
         sdf_target = formats.sparse_to_dense(tgt.locs, tgt.sdf[:, None], dims, -np.inf)
+        input_colors = inp.colors
+        target_colors = tgt.colors
+        known = tgt.known
+        world2grid = tgt.world2grid
+        semantics = tgt.semantics
+        if self.rescale is not None:
+            (sdf_input, sdf_target, input_colors, target_colors, known, world2grid) = (
+                rescale_grids(
+                    sdf_input, sdf_target, input_colors, target_colors, known,
+                    world2grid, self.rescale,
+                )
+            )
+            if semantics is not None:
+                from scipy.ndimage import zoom
+
+                semantics = zoom(semantics, self.rescale, order=0, grid_mode=False)
 
         scale = None
         if self.augment_hue:
@@ -293,11 +343,11 @@ class ChunkDataset:
         sample = assemble_sample(
             sdf_input=sdf_input,
             sdf_target=sdf_target,
-            input_colors=inp.colors,
-            target_colors=tgt.colors,
-            semantics=tgt.semantics,
-            known=tgt.known,
-            world2grid=tgt.world2grid,
+            input_colors=input_colors,
+            target_colors=target_colors,
+            semantics=semantics,
+            known=known,
+            world2grid=world2grid,
             truncation=self.truncation,
             color_space=self.color_space,
             augment_hue_scale=scale,

@@ -1,1 +1,1 @@
-from . import chunks, fusion, scan, semantics
+from . import chunks, fusion, scan, semantics, sens

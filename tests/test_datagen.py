@@ -170,3 +170,42 @@ def test_labeled_ply_roundtrip_and_sampling(tmp_path):
     # points on the z=0 triangle must carry label 5; z=2 -> 12
     np.testing.assert_array_equal(labels[np.abs(pts[:, 2]) < 1e-5], 5)
     np.testing.assert_array_equal(labels[np.abs(pts[:, 2] - 2) < 1e-5], 12)
+
+
+def test_sens_roundtrip_and_fusion(tmp_path):
+    """.sens write -> read -> fuse end-to-end (ScanNet SensorData format)."""
+    from spsg_tpu.datagen import sens, scan
+    from spsg_tpu.ops import mesh as mesh_ops2
+
+    verts, faces = _plane_mesh(z0=0.5)
+    pts = mesh_ops2.sample_point_cloud(verts, faces, 100000, seed=0)
+    sc = scan.ScanConfig(width=64, height=48, fx=60.0, fy=60.0)
+    cams = []
+    depths = []
+    for k in range(3):
+        cam = np.array(
+            [[1, 0, 0, 0.05 * k], [0, -1, 0, 0], [0, 0, -1, 1.6], [0, 0, 0, 1]],
+            np.float32,
+        )
+        d, _ = scan.render_depth_from_points(pts, None, cam, sc)
+        cams.append(cam)
+        depths.append(d)
+    intr = np.array(
+        [[60.0, 0, 32, 0], [0, 60.0, 24, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float32
+    )
+    p = str(tmp_path / "scan.sens")
+    sens.write_sens(p, np.stack(depths), None, np.stack(cams), intr)
+
+    r = sens.SensReader(p)
+    assert r.num_frames == 3
+    assert r.depth_width == 64 and r.depth_height == 48
+    np.testing.assert_allclose(r.depth_intrinsics_params, [60, 60, 32, 24])
+    frames = list(r.frames())
+    np.testing.assert_allclose(frames[0][0], depths[0], atol=1e-3)
+    np.testing.assert_allclose(frames[2][2], cams[2], atol=1e-6)
+    r.close()
+
+    out = str(tmp_path / "fused")
+    dims, w2g = sens.fuse_sens(p, out, voxelsize=0.05)
+    data = formats.load_sdf(out + ".sdf")
+    assert len(data.locs) > 0

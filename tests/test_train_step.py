@@ -144,3 +144,22 @@ def test_wgan_gp_and_percent_pixel_weights():
     assert np.isfinite(float(metrics["loss_disc"]))
     for leaf in jax.tree_util.tree_leaves(new_disc.params):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_overfit_occupancy_iou_converges():
+    """Training correctness: overfitting one synthetic chunk must push
+    occupancy IoU well up from its initial value (the reference's manual
+    acceptance criterion, SURVEY.md §4)."""
+    cfg = _tiny_cfg(weight_disc_loss=0.0, weight_depth_loss=0.0, lr=2e-3)
+    gen_state, _ = init_states(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg)
+    batch = _batch(cfg, seed=3)
+    flags = StepFlags(pred_sdf=True)
+    ious = []
+    for i in range(150):
+        gen_state, _, metrics = trainer.step(
+            gen_state, None, batch, jax.random.PRNGKey(i), flags
+        )
+        ious.append(float(metrics["iou_occ"]))
+    assert max(ious[-10:]) > 0.55, f"final IoU {ious[-10:]}"
+    assert np.mean(ious[-10:]) > np.mean(ious[:10]) + 0.2
