@@ -72,3 +72,55 @@ def test_scene_eval_cli_synthetic(tmp_path):
     assert any(f.endswith("_pred-mesh.ply") or f.endswith("_target-mesh.ply") for f in files)
     assert any(f.endswith("_pred.png") for f in files)
     assert any(f.endswith("_pred-depth.png") for f in files)
+
+
+def test_datagen_cli_end_to_end(tmp_path):
+    """mesh -> scan -> chunk -> semantics -> category, all via the CLI."""
+    import struct
+
+    import numpy as np
+
+    from spsg_tpu.cli import datagen as dg
+    from spsg_tpu.ops import mesh as mesh_ops
+
+    # labeled floor mesh
+    verts = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    colors = np.full((4, 3), 120, np.uint8)
+    mesh_path = str(tmp_path / "room.ply")
+    mesh_ops.save_ply(mesh_path, verts, faces, colors)
+    region_path = str(tmp_path / "room_semseg.ply")
+    with open(region_path, "wb") as f:
+        hdr = ["ply", "format binary_little_endian 1.0", "element vertex 4",
+               "property float x", "property float y", "property float z",
+               "element face 2", "property list uchar int vertex_indices",
+               "property int category_id", "end_header"]
+        f.write(("\n".join(hdr) + "\n").encode())
+        f.write(verts.astype("<f4").tobytes())
+        for i in range(2):
+            f.write(struct.pack("B", 3))
+            f.write(faces[i].astype("<i4").tobytes())
+            f.write(struct.pack("<i", 5))
+
+    scans = str(tmp_path / "scans")
+    dg.main(["scan", "--mesh", mesh_path, "--output_dir", scans,
+             "--voxelsize", "0.08", "--num_frames", "6"])
+    assert os.path.isfile(os.path.join(scans, "room__cmp__0.sdf"))
+
+    chunks_dir = str(tmp_path / "chunks")
+    dg.main(["chunk", "--inc", os.path.join(scans, "room__inc__0"),
+             "--cmp", os.path.join(scans, "room__cmp__0"),
+             "--output_dir", chunks_dir, "--name", "room",
+             "--chunk_dims", "16", "16", "16", "--min_surface_voxels", "20"])
+    cmp_chunks = [f for f in os.listdir(chunks_dir) if "__cmp__" in f]
+    assert cmp_chunks
+
+    dg.main(["semantics", "--region_ply", region_path,
+             "--sdf_glob", os.path.join(chunks_dir, "*__cmp__*.sdf"),
+             "--samples_per_face", "200"])
+    sem_chunks = [f for f in os.listdir(chunks_dir) if "__sem__" in f]
+    assert len(sem_chunks) == len(cmp_chunks)
+
+    dg.main(["category", "--output_dir", str(tmp_path)])
+    assert os.path.isfile(str(tmp_path / "category.npz"))
+    assert os.path.isfile(str(tmp_path / "Category_list.png"))
