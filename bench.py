@@ -24,12 +24,54 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bench_scene(args):
+    """Whole-scene chunked inference throughput: voxels/sec at 2 cm
+    (the second north-star metric, BASELINE.md)."""
+    from spsg_tpu.data import pipeline, synthetic
+    from spsg_tpu.inference import chunked
+    from spsg_tpu.training import TrainConfig
+    from spsg_tpu.training.state import init_states, make_generator
+
+    cfg = TrainConfig(weight_disc_loss=0.0)
+    gen = make_generator(cfg)
+    gs, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
+    variables = {"params": gs.params, "batch_stats": gs.batch_stats}
+    scene = synthetic.make_scene(dims=(128, 256, 320), seed=1)
+    sample = pipeline.assemble_sample(
+        scene.sdf_input, scene.sdf_complete, scene.input_colors, scene.colors,
+        scene.semantics, scene.known, scene.world2grid, 3.0, "lab", None,
+    )
+    print("[bench] scene inference warmup", file=sys.stderr)
+    kwargs = dict(
+        truncation=3.0, chunk_dims=(128, 64, 64), stride=32, window_batch=8,
+        pred_color=True, pred_semantic=True,
+    )
+    chunked.run_chunked_inference(
+        gen, variables, sample["input"], sample["mask"], None, None, None, **kwargs
+    )
+    print("[bench] timing scene inference", file=sys.stderr)
+    t0 = time.perf_counter()
+    out = chunked.run_chunked_inference(
+        gen, variables, sample["input"], sample["mask"], None, None, None, **kwargs
+    )
+    dt = time.perf_counter() - t0
+    n_vox = int(np.prod(out.sdf.shape))
+    result = {
+        "metric": "scene_inference_voxels_per_sec",
+        "value": round(n_vox / dt, 1),
+        "unit": "voxels/s (2cm chunked whole-scene completion, stride 32)",
+        "vs_baseline": None,
+        "extra": {"scene_dims": list(out.sdf.shape), "seconds": round(dt, 3)},
+    }
+    print(json.dumps(result))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=2)  # reference default (train.py:49)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--mode", choices=["full", "geo"], default="full")
+    p.add_argument("--mode", choices=["full", "geo", "scene"], default="full")
     p.add_argument("--bf16", action="store_true", help="bfloat16 conv compute")
     args = p.parse_args()
 
@@ -37,6 +79,9 @@ def main():
     from spsg_tpu.training import StepFlags, TrainConfig
     from spsg_tpu.training.state import init_states
     from spsg_tpu.training.step import Trainer
+
+    if args.mode == "scene":
+        return bench_scene(args)
 
     dims = (128, 64, 64)
     full = args.mode == "full"
