@@ -11,7 +11,9 @@ Design choices vs the reference (all SURVEY.md §7 "hard parts"):
   * skip-sample conditions (missing frames, unfillable depth holes) -> a
     runtime gate scalar multiplying the 2D losses and predicating the disc
     optimizer update via lax.cond (reference: `continue`, train.py:428-432,
-    539-541);
+    539-541). Known deviation: on an unfillable-depth sample the reference
+    skips the *whole* batch including 3D losses; we zero only the 2D terms
+    and still take the 3D gradient step (strictly more data used);
   * the reference updates the discriminator *then* computes the generator's
     adversarial loss against the updated disc (train.py:726-730). We
     replicate exactly by splitting the generator backward with jax.vjp:
@@ -188,10 +190,11 @@ class Trainer:
         gate2d = jnp.zeros(())
         sw_real = None
         sw_fake = None
+        wcd = None
         if flags.use_2d:
             (
                 loss2d, synth, target_img, valid_patches, gate2d, metrics2d,
-                sw_real, sw_fake,
+                sw_real, sw_fake, wcd,
             ) = self._2d_losses(
                 batch, flags, target_sdf, input_occ, pred_sdf_g, pred_color, pred_sem,
                 surface_pred,
@@ -207,6 +210,7 @@ class Trainer:
             gate2d=gate2d,
             sample_weight_real=sw_real,
             sample_weight_fake=sw_fake,
+            weight_color_disc=wcd,
         )
         if synth is None:
             synth = jnp.zeros((batch["input"].shape[0], 1, 1, 1), jnp.float32)
@@ -352,12 +356,20 @@ class Trainer:
         gate_numvalid = (num_valid > cfg.min_num_valid_2d).astype(jnp.float32)
 
         valid_patches = None
+        weight_color_disc = None
         if self.discriminator is not None and cfg.patch_disc and cfg.patch_size < cfg.style_height:
             vp = self.discriminator.compute_valids(
                 valid_px[..., -1:].astype(jnp.float32)
             )
             valid_patches = vp[..., 0] > cfg.valid_thresh
             gate_numvalid = gate_numvalid * (jnp.sum(valid_patches) > 0).astype(jnp.float32)
+            if weight_color is not None:
+                # per-patch disc weights from the missing-color map
+                # (train.py:657-661)
+                wcd = self.discriminator.compute_valids(weight_color[..., None])
+                weight_color_disc = (
+                    cfg.weight_missing_color * wcd / jnp.maximum(jnp.max(wcd), 1e-12)
+                )
 
         # --- style/content (train.py:663-686) ---
         if (flags.compute_style or flags.compute_content) and self.vgg is not None:
@@ -437,7 +449,7 @@ class Trainer:
         gate = gate2d * gate_numvalid
         return (
             loss2d, synth, target_img, valid_patches, gate, metrics,
-            sample_weight_real, sample_weight_fake,
+            sample_weight_real, sample_weight_fake, weight_color_disc,
         )
 
     def _step(self, flags: StepFlags, gen_state: GenState, disc_state, batch, rng):
@@ -464,7 +476,7 @@ class Trainer:
                     d_real,
                     d_fake,
                     valid_patches if cfg.patch_disc else None,
-                    None,
+                    aux["weight_color_disc"] if cfg.patch_disc else None,
                     sample_weight_real=aux["sample_weight_real"]
                     if cfg.weight_by_percent_pixels and cfg.disc_loss_type != "hinge"
                     else None,

@@ -163,3 +163,18 @@ def test_overfit_occupancy_iou_converges():
         ious.append(float(metrics["iou_occ"]))
     assert max(ious[-10:]) > 0.55, f"final IoU {ious[-10:]}"
     assert np.mean(ious[-10:]) > np.mean(ious[:10]) + 0.2
+
+
+def test_missing_color_weighting_path():
+    """weight_missing_color > 1 activates the occupancy raycasts + per-pixel
+    color weights + per-patch disc weights (reference train.py:546-554,
+    657-661)."""
+    cfg = _tiny_cfg(weight_missing_color=3.0)
+    gen_state, disc_state = init_states(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg)
+    batch = _batch(cfg, with_frames=True)
+    flags = StepFlags(pred_sdf=True, pred_color=True, pred_semantic=True,
+                      use_2d=True, use_disc=True)
+    _, _, metrics = trainer.step(gen_state, disc_state, batch, jax.random.PRNGKey(1), flags)
+    for k in ("loss", "loss_color", "loss_disc"):
+        assert np.isfinite(float(metrics[k])), k
