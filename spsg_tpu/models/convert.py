@@ -1,0 +1,101 @@
+"""Convert reference PyTorch Generator checkpoints to Flax parameters.
+
+Lets users of the reference implementation load their trained ``.pth``
+checkpoints (torch/train.py:781-786 ``{'epoch','state_dict','optimizer'}``)
+directly into this framework, and powers the numerical parity test of the
+two architectures.
+
+Layer mapping: each torch ``nn.Sequential`` [Conv3d, LeakyReLU, BatchNorm3d]
+triplet maps to one :class:`spsg_tpu.models.generator.ConvBlock`; conv
+weights transpose OIZYX -> ZYXIO."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+# torch module prefix -> ordered (conv_index, bn_index_or_None, flax ConvBlock name)
+_GENERATOR_LAYOUT = {
+    "geo_0": [(0, 2, "geo_0a"), (3, 5, "geo_0b"), (6, 8, "geo_0c")],
+    "geo_1": [(0, 2, "geo_1a"), (3, 5, "geo_1b"), (6, 8, "geo_1c"), (9, 11, "geo_1d")],
+    "geo_2": [(0, 2, "geo_2a"), (3, 5, "geo_2b")],
+    "geo_occ": [(0, 2, "geo_occ_a"), (3, None, "geo_occ_b")],
+    "geo_3": [(0, 2, "geo_3a"), (3, 5, "geo_3b"), (6, None, "geo_3c")],
+    "encoder_0": [(0, 2, "encoder_0a"), (3, 5, "encoder_0b"), (6, 8, "encoder_0c")],
+    "encoder_geo": [(0, 2, "encoder_geo")],
+    "encoder_1": [(0, 2, "encoder_1a"), (3, 5, "encoder_1b"), (6, 8, "encoder_1c")],
+    "decoder_2": [(0, 2, "decoder_2a"), (3, 5, "decoder_2b"), (6, 8, "decoder_2c")],
+    "decoder_3": [
+        (0, 2, "decoder_3a"),
+        (3, 5, "decoder_3b"),
+        (6, 8, "decoder_3c"),
+        (9, 11, "decoder_3d"),
+        (12, None, "decoder_3e"),
+    ],
+    # heads start with a standalone BatchNorm (model.py:303-325)
+    "color_head": [(2, 4, "color_head_a"), (5, 7, "color_head_b"), (8, None, "color_head_c")],
+    "semantic_head": [
+        (2, 4, "semantic_head_a"),
+        (5, 7, "semantic_head_b"),
+        (8, None, "semantic_head_c"),
+    ],
+}
+_HEAD_BN = {"color_head": ("color_head_bn0", 0), "semantic_head": ("semantic_head_bn0", 0)}
+
+
+def _conv(params_dict, sd, torch_name, flax_name):
+    w = np.asarray(sd[f"{torch_name}.weight"])  # (O, I, kz, ky, kx)
+    b = np.asarray(sd[f"{torch_name}.bias"])
+    params_dict.setdefault(flax_name, {})["Conv_0"] = {
+        "kernel": np.transpose(w, (2, 3, 4, 1, 0)),
+        "bias": b,
+    }
+
+
+def _bn(params, batch_stats, sd, torch_name, flax_parent, flax_bn="BatchNorm_0"):
+    params.setdefault(flax_parent, {})[flax_bn] = {
+        "scale": np.asarray(sd[f"{torch_name}.weight"]),
+        "bias": np.asarray(sd[f"{torch_name}.bias"]),
+    }
+    batch_stats.setdefault(flax_parent, {})[flax_bn] = {
+        "mean": np.asarray(sd[f"{torch_name}.running_mean"]),
+        "var": np.asarray(sd[f"{torch_name}.running_var"]),
+    }
+
+
+def convert_generator_state_dict(state_dict) -> Dict:
+    """torch Generator state_dict -> {'params': ..., 'batch_stats': ...}."""
+    sd = {k: v for k, v in state_dict.items()}
+    params: Dict = {}
+    batch_stats: Dict = {}
+    for prefix, layout in _GENERATOR_LAYOUT.items():
+        if f"{prefix}.{layout[0][0]}.weight" not in sd:
+            continue  # branch absent (e.g. no pass_geo_feats)
+        for conv_i, bn_i, flax_name in layout:
+            _conv(params, sd, f"{prefix}.{conv_i}", flax_name)
+            if bn_i is not None:
+                _bn(params, batch_stats, sd, f"{prefix}.{bn_i}", flax_name)
+    for prefix, (flax_name, bn_i) in _HEAD_BN.items():
+        key = f"{prefix}.{bn_i}.weight"
+        if key not in sd:
+            continue
+        params[flax_name] = {
+            "scale": np.asarray(sd[f"{prefix}.{bn_i}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.{bn_i}.bias"]),
+        }
+        batch_stats[flax_name] = {
+            "mean": np.asarray(sd[f"{prefix}.{bn_i}.running_mean"]),
+            "var": np.asarray(sd[f"{prefix}.{bn_i}.running_var"]),
+        }
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def load_reference_checkpoint(path: str) -> Dict:
+    """Load a reference .pth Generator checkpoint into Flax variables."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    return convert_generator_state_dict(sd)

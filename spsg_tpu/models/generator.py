@@ -119,8 +119,11 @@ class Generator(nn.Module):
         if cfg.input_mask:
             x = jnp.concatenate([x, mask], axis=-1)
         x_geo = x[..., :1]
-        # zero out truncated-empty voxels (model.py:352)
+        # zero out truncated-empty voxels (model.py:352). The reference's
+        # in-place masking mutates x's first channel through the view, so the
+        # zeroed SDF also reaches the decoder's final concat (model.py:384).
         x_geo = jnp.where(jnp.abs(x_geo) >= cfg.truncation - 0.01, 0.0, x_geo)
+        x = jnp.concatenate([x_geo, x[..., 1:]], axis=-1)
         if dtype is not None:
             x_geo = x_geo.astype(dtype)
 
