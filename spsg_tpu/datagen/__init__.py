@@ -1,1 +1,1 @@
-from . import chunks, fusion, scan, semantics, sens
+from . import chunks, fusion, params, scan, semantics, sens

@@ -209,3 +209,29 @@ def test_sens_roundtrip_and_fusion(tmp_path):
     dims, w2g = sens.fuse_sens(p, out, voxelsize=0.05)
     data = formats.load_sdf(out + ".sdf")
     assert len(data.locs) > 0
+
+
+def test_parameter_file_reader(tmp_path):
+    """zParameters-style config files drive the datagen configs (reference
+    GlobalAppState.h:11-78)."""
+    from spsg_tpu.datagen import params as P
+
+    p = str(tmp_path / "zParams.txt")
+    open(p, "w").write(
+        """
+s_bDebugVis = false;
+s_voxelSize = 0.05f;	//in m
+s_renderWidth = 160;	// render width
+s_chanceDropFrames = 0.7f;
+s_sceneFileList = "../fileLists/rooms.txt";
+s_scenePadding = 6; 		//on each side
+"""
+    )
+    d = P.load_parameter_file(p)
+    assert d["s_bDebugVis"] is False
+    assert d["s_voxelSize"] == 0.05
+    assert d["s_renderWidth"] == 160
+    assert d["s_sceneFileList"] == "../fileLists/rooms.txt"
+    fc, sc = P.scan_configs_from_params(d)
+    assert fc.voxelsize == 0.05 and fc.scene_pad == 6
+    assert sc.width == 160 and sc.chance_drop_frames == 0.7
