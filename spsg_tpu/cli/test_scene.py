@@ -35,6 +35,8 @@ def build_parser():
     p.add_argument("--color_space", type=str, default="lab")
     p.add_argument("--style_width", type=int, default=320)
     p.add_argument("--style_height", type=int, default=256)
+    p.add_argument("--spatial_shard", action="store_true",
+                   help="shard the scene volume along Y over all devices")
     p.set_defaults(pass_geo_feats=True)
     return p
 
@@ -154,32 +156,26 @@ def main(argv=None):
         thresh_sample_dist=50.5 * 0.3 * args.truncation,
     )
 
-    fwd = None
+    from ..inference import whole_scene
+    from ..parallel import make_mesh
+
+    mesh = make_mesh() if args.spatial_shard else None
     for si, sample in enumerate(scenes[: args.max_to_process]):
         name = sample["name"]
         inp = sample["input"]
         mask = sample["mask"]
-        # crop height + pad dims to a multiple of 4 (test_scene.py:120-140)
-        h = min(args.max_input_height, inp.shape[0]) if args.max_input_height else inp.shape[0]
-        dims = np.array([h, inp.shape[1], inp.shape[2]])
-        dims = ((dims + 3) // 4) * 4
-        pad_inp = np.zeros(tuple(dims) + (inp.shape[-1],), np.float32)
-        pad_inp[..., 0] = -args.truncation
-        pad_inp[: min(h, inp.shape[0]), : inp.shape[1], : inp.shape[2]] = inp[:h]
-        pad_mask = np.zeros(tuple(dims) + (1,), np.float32)
-        pad_mask[: min(h, mask.shape[0]), : mask.shape[1], : mask.shape[2]] = mask[:h]
+        n_shards = mesh.shape["data"] if mesh is not None else 1
+        pad_inp, pad_mask, dims = whole_scene.pad_scene(
+            inp, mask, args.truncation, args.max_input_height, y_multiple=4 * n_shards
+        )
         print(f"[ {si} ] {name} {tuple(dims)}")
 
-        fwd = jax.jit(
-            lambda c, m: generator.apply(
-                variables, c, m, pred_color=args.weight_color_loss > 0, pred_sdf=True,
-                pred_semantic=args.weight_semantic_loss > 0, train=False,
-            )
+        _, sdf_p, color_p, sem_p = whole_scene.run_whole_scene(
+            generator, variables, inp, mask,
+            truncation=args.truncation, max_height=args.max_input_height,
+            pred_color=args.weight_color_loss > 0,
+            pred_semantic=args.weight_semantic_loss > 0, mesh=mesh,
         )
-        occ_l, sdf_p, color_p, sem_p = fwd(jnp.asarray(pad_inp[None]), jnp.asarray(pad_mask[None]))
-        sdf_p = np.asarray(sdf_p)[0, ..., 0]
-        color_p = np.asarray(color_p)[0] if color_p is not None else None
-        sem_p = np.asarray(sem_p)[0] if sem_p is not None else None
         pred_valid = np.abs(sdf_p) < args.truncation  # test_scene.py:156
 
         if si < args.num_to_vis:

@@ -1,1 +1,1 @@
-from . import chunked
+from . import chunked, metrics, whole_scene

@@ -68,6 +68,24 @@ def run_training(
     log = TrainLog(save_dir, has_val=val_dataset is not None)
     acc = MetricsAccumulator()
     timer = PhaseTimer(report_every=100)
+
+    # preemption-safe checkpointing (an improvement over the reference's
+    # skip-and-continue-only failure handling, SURVEY.md §5): SIGTERM/SIGINT
+    # request a checkpoint at the next step boundary before exiting
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        print(f"signal {signum}: checkpointing at next step boundary")
+        stop_requested["flag"] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
+        except ValueError:  # not in main thread
+            pass
     it = start_iter if start_iter > 0 else epoch0 * max(1, len(train_dataset) // cfg.batch_size)
     rng = jax.random.PRNGKey(seed + 1)
     max_epoch = max_epoch if max_epoch is not None else cfg.max_epoch
@@ -102,6 +120,18 @@ def run_training(
                         epoch,
                     )
             timer.step()
+            if stop_requested["flag"]:
+                state_lib.save_checkpoint(
+                    os.path.join(save_dir, f"model-preempt-iter{it}"),
+                    jax.device_get(gen_state),
+                    jax.device_get(disc_state) if disc_state is not None else None,
+                    epoch,
+                )
+                print(f"preemption checkpoint written at iter {it}; exiting")
+                log.close()
+                for sig, h in prev_handlers.items():
+                    signal.signal(sig, h)
+                return gen_state, disc_state
 
         # end of epoch: validation + checkpoint (train.py:1294-1320)
         if val_dataset is not None:
@@ -128,4 +158,6 @@ def run_training(
                 epoch + 1,
             )
     log.close()
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
     return gen_state, disc_state
