@@ -55,7 +55,11 @@ def make_header(ids: List[str]) -> List[str]:
 
 class MetricsAccumulator:
     """Collects per-step metric dicts; means ignore missing entries and -1
-    sentinels (reference print_log, train.py:286-396)."""
+    sentinels (reference print_log, train.py:286-396). Adversarial losses
+    (disc/gen) are averaged without the >=0 filter, like the reference —
+    wgan losses are legitimately negative (train.py:317-320)."""
+
+    _UNFILTERED = ("loss_disc", "loss_disc_real", "loss_disc_fake", "loss_gen")
 
     def __init__(self):
         self._vals: Dict[str, List[float]] = {k: [] for k in LOSS_KEYS}
@@ -70,7 +74,8 @@ class MetricsAccumulator:
         out = {}
         for k, vals in self._vals.items():
             arr = np.asarray([v for v in vals if np.isfinite(v)])
-            arr = arr[arr >= 0] if len(arr) else arr
+            if k not in self._UNFILTERED and len(arr):
+                arr = arr[arr >= 0]
             out[k] = float(arr.mean()) if len(arr) else -1.0
         return out
 
