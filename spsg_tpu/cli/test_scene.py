@@ -107,7 +107,7 @@ def main(argv=None):
     from ..data import pipeline
     from ..ops.raycast import RaycastConfig
     from ..training import TrainConfig
-    from ..training.state import init_states, load_checkpoint, make_generator
+    from ..training.state import init_states, load_any_checkpoint, make_generator
     from ..utils import visualize
 
     cfg = TrainConfig(
@@ -121,7 +121,7 @@ def main(argv=None):
     generator = make_generator(cfg)
     gen_state, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
     if args.model_path:
-        gen_state, _, _ = load_checkpoint(args.model_path, gen_state, None)
+        gen_state, _, _ = load_any_checkpoint(args.model_path, gen_state, None)
         print("loaded model:", args.model_path)
     variables = {"params": gen_state.params, "batch_stats": gen_state.batch_stats}
 

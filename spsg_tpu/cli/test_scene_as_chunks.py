@@ -52,7 +52,7 @@ def main(argv=None):
     from ..data import category
     from ..inference import chunked
     from ..training import TrainConfig
-    from ..training.state import init_states, load_checkpoint, make_generator
+    from ..training.state import init_states, load_any_checkpoint, make_generator
     from ..utils import visualize
 
     chunk_dims = (128, 64, 64) if args.input_dim == 0 else (args.input_dim,) * 3
@@ -70,7 +70,7 @@ def main(argv=None):
     generator = make_generator(cfg)
     gen_state, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
     if args.model_path:
-        gen_state, _, _ = load_checkpoint(args.model_path, gen_state, None)
+        gen_state, _, _ = load_any_checkpoint(args.model_path, gen_state, None)
         print("loaded model:", args.model_path)
     variables = {"params": gen_state.params, "batch_stats": gen_state.batch_stats}
 

@@ -45,6 +45,7 @@ class Discriminator2D(nn.Module):
     patch: bool = True
     use_bias: bool = True
     disc_loss_type: str = "vanilla"
+    spectral_norm: bool = True  # False: plain convs (e.g. converted weights)
 
     @nn.compact
     def __call__(self, x: jax.Array, update_sn_stats: bool = True) -> jax.Array:
@@ -61,9 +62,12 @@ class Discriminator2D(nn.Module):
                 kernel_init=torch_kernel_init(),
                 name=f"sn_conv_{k}",
             )
-            x = nn.SpectralNorm(conv, collection_name="spectral_stats")(
-                x, update_stats=update_sn_stats
-            )
+            if self.spectral_norm:
+                x = nn.SpectralNorm(conv, collection_name="spectral_stats")(
+                    x, update_stats=update_sn_stats
+                )
+            else:
+                x = conv(x)
             if k < n - 1:
                 x = nn.leaky_relu(x, 0.2)
         if not (self.patch and self.disc_loss_type == "hinge"):

@@ -57,9 +57,10 @@ def run_training(
     gen_state, disc_state = state_lib.init_states(cfg, jax.random.PRNGKey(seed))
     epoch0 = start_epoch
     if retrain:
-        gen_state, disc_state, epoch0 = state_lib.load_checkpoint(
+        gen_state, disc_state, epoch0 = state_lib.load_any_checkpoint(
             retrain, gen_state, disc_state
         )
+        epoch0 = max(epoch0, start_epoch)
         print(f"loaded checkpoint {retrain} (epoch {epoch0})")
     gen_state = replicate_state(gen_state, mesh)
     if disc_state is not None:

@@ -129,6 +129,22 @@ def save_checkpoint(path: str, gen_state: GenState, disc_state: Optional[DiscSta
         ckptr.save(path, ckpt, force=True)
 
 
+def load_any_checkpoint(path: str, gen_state: GenState, disc_state: Optional[DiscState]):
+    """Load either an orbax checkpoint directory or a reference PyTorch
+    ``.pth`` checkpoint (converted on the fly). Returns
+    (gen_state, disc_state, epoch)."""
+    if path.endswith(".pth"):
+        from ..models.convert import load_reference_checkpoint
+
+        variables = load_reference_checkpoint(path)
+        gen_state = gen_state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, variables["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, variables["batch_stats"]),
+        )
+        return gen_state, disc_state, 0
+    return load_checkpoint(path, gen_state, disc_state)
+
+
 def load_checkpoint(path: str, gen_state: GenState, disc_state: Optional[DiscState]):
     """Restore into existing state structures. Returns
     (gen_state, disc_state, epoch)."""

@@ -98,3 +98,57 @@ def test_generator_parity_full(models):
         np.transpose(np.asarray(f_sem), (0, 4, 1, 2, 3)), t_sem.numpy(),
         atol=5e-4, rtol=1e-3,
     )
+
+
+def test_discriminator_parity():
+    """Our patch discriminator vs the reference Discriminator2D with the
+    spectral-norm *effective* weights transplanted (validates layer count,
+    strides, padding, activation placement, final 1x1 conv, output layout —
+    model.py:40-104)."""
+    import model as ref_model
+
+    import jax.numpy as jnp
+    from spsg_tpu.models import Discriminator2D
+
+    H, W, nf_in, nf = 64, 80, 12, 4
+    tdisc = ref_model.Discriminator2D(
+        nf_in=nf_in, nf=nf, patch_size=24, image_dims=(H, W), patch=True,
+        use_bias=True, disc_loss_type="vanilla",
+    )
+    tdisc.eval()
+    x = np.random.default_rng(0).standard_normal((2, nf_in, H, W)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tdisc(torch.from_numpy(x))  # (B, H', W', 1)
+        # effective (already spectral-normalized) conv weights
+        params = {}
+        for k, m in enumerate(tdisc.discriminator_net):
+            w = m.conv2d.weight.detach().numpy()  # (O, I, kh, kw)
+            b = m.conv2d.bias.detach().numpy()
+            params[f"sn_conv_{k}"] = {
+                "kernel": np.transpose(w, (2, 3, 1, 0)),
+                "bias": b,
+            }
+        params["final"] = {
+            "kernel": np.transpose(tdisc.final.weight.detach().numpy(), (2, 3, 1, 0)),
+            "bias": tdisc.final.bias.detach().numpy(),
+        }
+
+    fdisc = Discriminator2D(
+        nf_in=nf_in, nf=nf, patch_size=24, image_dims=(H, W), patch=True,
+        spectral_norm=False,
+    )
+    f_out = fdisc.apply(
+        {"params": params},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        update_sn_stats=False,
+    )
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=2e-4, rtol=1e-3)
+
+    # valid-patch pyramid parity (model.py:82-94)
+    valid = np.random.default_rng(1).random((2, 1, H, W)).astype(np.float32)
+    with torch.no_grad():
+        t_valid = tdisc.compute_valids(torch.from_numpy(valid))
+    f_valid = fdisc.compute_valids(jnp.asarray(np.transpose(valid, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.asarray(f_valid)[..., 0], t_valid.numpy()[:, 0], atol=1e-5
+    )
