@@ -31,6 +31,10 @@ class ScanConfig:
     depth_max: float = 4.0
     chance_drop_frames: float = 0.8  # zParametersScanMP.txt:48
     samples_per_area: float = 8000.0  # surface samples per square meter
+    # randomized directional lighting of rendered colors (reference
+    # datagen/src/Lighting.h randomizes a light per frame); 0 disables
+    lighting_strength: float = 0.0
+    lighting_seed: int = 0
 
 
 def render_depth_from_points(
@@ -38,10 +42,14 @@ def render_depth_from_points(
     colors: Optional[np.ndarray],  # (N, 3) uint8
     cam2world: np.ndarray,
     cfg: ScanConfig,
+    normals: Optional[np.ndarray] = None,  # (N, 3) world, for lighting
+    frame_id: int = 0,
 ):
     """Z-buffer point-splat rendering: project surface samples, keep the
     nearest per pixel (replaces the reference's D3D11 rasterization,
-    Scene.cpp:169-227). Returns (depth (H,W) m with 0 holes,
+    Scene.cpp:169-227). With ``normals`` and lighting_strength > 0, applies
+    per-frame randomized Lambertian directional lighting (reference
+    datagen/src/Lighting.h). Returns (depth (H,W) m with 0 holes,
     color (H,W,3) u8 or None)."""
     world2cam = np.linalg.inv(cam2world)
     p = points @ world2cam[:3, :3].T + world2cam[:3, 3]
@@ -56,11 +64,19 @@ def render_depth_from_points(
     np.minimum.at(depth, flat, z)
     out_color = None
     if colors is not None:
-        csel = colors[ok]
+        csel = colors[ok].astype(np.float32)
+        if cfg.lighting_strength > 0 and normals is not None:
+            rng = np.random.default_rng(cfg.lighting_seed * 100003 + frame_id)
+            light = rng.standard_normal(3)
+            light[2] = -abs(light[2])  # from above
+            light /= np.linalg.norm(light)
+            lambert = np.abs(normals[ok] @ light)
+            shade = (1.0 - cfg.lighting_strength) + cfg.lighting_strength * lambert
+            csel = csel * shade[:, None]
         # winner-take-all by re-checking the z-buffer
         win = z <= depth[flat] + 1e-6
         out_color = np.zeros((cfg.height * cfg.width, 3), np.uint8)
-        out_color[flat[win]] = csel[win]
+        out_color[flat[win]] = np.clip(csel[win], 0, 255).astype(np.uint8)
         out_color = out_color.reshape(cfg.height, cfg.width, 3)
     depth = np.where(np.isfinite(depth), depth, 0.0).reshape(cfg.height, cfg.width)
     return depth, out_color
@@ -85,9 +101,20 @@ def virtual_scan(
     v0 = verts[faces[:, 0]]
     v1 = verts[faces[:, 1]]
     v2 = verts[faces[:, 2]]
-    area = float(0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1).sum())
+    cross = np.cross(v1 - v0, v2 - v0)
+    areas = 0.5 * np.linalg.norm(cross, axis=1)
+    area = float(areas.sum())
+    face_normals = cross / np.maximum(np.linalg.norm(cross, axis=1, keepdims=True), 1e-12)
     n_samples = max(10000, int(area * scan_cfg.samples_per_area))
-    points = mesh_ops.sample_point_cloud(verts, faces, n_samples, seed=seed)
+    rng_s = np.random.default_rng(seed)
+    fidx = rng_s.choice(len(faces), size=n_samples, p=areas / max(area, 1e-12))
+    r1 = np.sqrt(rng_s.random(n_samples))
+    r2 = rng_s.random(n_samples)
+    a = (1.0 - r1)[:, None]
+    b = (r1 * (1.0 - r2))[:, None]
+    c = (r1 * r2)[:, None]
+    points = (a * v0[fidx] + b * v1[fidx] + c * v2[fidx]).astype(np.float32)
+    normals = face_normals[fidx].astype(np.float32)
     colors = None
     if vert_colors is not None:
         # nearest-vertex colors for the samples
@@ -113,8 +140,10 @@ def virtual_scan(
     rest_frames = [t for t, k in zip(trajectory, keep) if not k]
 
     def frame_iter(cams):
-        for cam in cams:
-            depth, color = render_depth_from_points(points, colors, cam, scan_cfg)
+        for fi, cam in enumerate(cams):
+            depth, color = render_depth_from_points(
+                points, colors, cam, scan_cfg, normals=normals, frame_id=fi
+            )
             yield depth, color.astype(np.float32) if color is not None else None, intr, cam
 
     grid = fusion.make_grid(dims_zyx)
