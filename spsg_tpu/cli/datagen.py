@@ -98,6 +98,26 @@ def cmd_semantics(args):
     print(f"extended {n} files")
 
 
+def cmd_filelist(args):
+    """Generate train/val file lists from a chunk directory (the reference
+    ships plain-text lists in filelists/, data_util.py:20-38)."""
+    import random as _random
+
+    names = sorted(
+        f for f in os.listdir(args.chunk_dir) if "__inc__" in f and f.endswith(".sdf")
+    )
+    _random.seed(args.seed)
+    _random.shuffle(names)
+    n_val = int(len(names) * args.val_fraction)
+    val, train = names[:n_val], names[n_val:]
+    with open(args.train_list, "w") as f:
+        f.write("\n".join(train) + "\n")
+    if args.val_list:
+        with open(args.val_list, "w") as f:
+            f.write("\n".join(val) + "\n")
+    print(f"wrote {len(train)} train / {len(val)} val entries")
+
+
 def cmd_category(args):
     from ..data import category
 
@@ -146,6 +166,14 @@ def main(argv=None):
     pm.add_argument("--scene_semantics", action="store_true",
                     help="write standalone .semantics (2cm scenes) instead of __sem__ chunks")
     pm.set_defaults(fn=cmd_semantics)
+
+    pf = sub.add_parser("filelist")
+    pf.add_argument("--chunk_dir", required=True)
+    pf.add_argument("--train_list", required=True)
+    pf.add_argument("--val_list", default="")
+    pf.add_argument("--val_fraction", type=float, default=0.05)
+    pf.add_argument("--seed", type=int, default=42)
+    pf.set_defaults(fn=cmd_filelist)
 
     pg = sub.add_parser("category")
     pg.add_argument("--output_dir", default=".")

@@ -1,1 +1,1 @@
-from . import raycast, depth, normals3d
+from . import depth, mesh, normals3d, raycast

@@ -34,6 +34,44 @@ def _has_frames(batch) -> bool:
     return "images_depth" in batch and "images_color" in batch
 
 
+def _dump_visuals(trainer, cfg, gen_state, batch, it, epoch, save_dir, flags):
+    """Mesh/PNG dumps of the current batch's predictions (reference
+    save_predictions call, train.py:842-849)."""
+    from ..utils import visualize
+
+    inp = np.asarray(batch["input"])
+    msk = np.asarray(batch["mask"])
+    occ_l, sdf_p, color_p, sem_p = trainer.generator.apply(
+        {"params": gen_state.params, "batch_stats": gen_state.batch_stats},
+        batch["input"], batch["mask"],
+        pred_color=flags.pred_color, pred_sdf=True,
+        pred_semantic=flags.pred_semantic, train=False,
+    )
+    occ = 1.0 / (1.0 + np.exp(-np.asarray(occ_l)[..., 0])) > 0.5
+    sdf_p = np.asarray(sdf_p)[..., 0]
+    color_p = np.asarray(color_p) if color_p is not None else None
+    sem_p = np.asarray(sem_p) if sem_p is not None else None
+    out_dir = os.path.join(save_dir, f"iter{it}-epoch{epoch}", "train")
+    tgt = np.asarray(batch["target_sdf"])
+    for b in range(min(2, inp.shape[0])):
+        pred_sdf_vis = np.where(
+            (np.abs(sdf_p[b]) < cfg.truncation) & occ[b], sdf_p[b], -np.inf
+        )
+        visualize.save_predictions(
+            out_dir,
+            f"sample{b}",
+            inp[b],
+            np.clip(tgt[b], -cfg.truncation, cfg.truncation),
+            np.asarray(batch["target_colors"])[b] if "target_colors" in batch else None,
+            np.asarray(batch["semantics"])[b] if "semantics" in batch else None,
+            pred_sdf_vis,
+            color_p[b] if color_p is not None else None,
+            sem_p[b] if sem_p is not None else None,
+            truncation=cfg.truncation,
+            color_space=cfg.color_space,
+        )
+
+
 def run_training(
     cfg: TrainConfig,
     train_dataset,
@@ -47,6 +85,7 @@ def run_training(
     ckpt_every_iters: int = 10000,
     seed: int = 0,
     vgg=None,
+    vis_at_epoch_end: bool = True,
 ):
     """Train to max_epoch. Returns (gen_state, disc_state)."""
     from ..data.pipeline import batch_iterator
@@ -92,6 +131,8 @@ def run_training(
     max_epoch = max_epoch if max_epoch is not None else cfg.max_epoch
 
     start = time.time()
+    last_batch = None
+    last_flags = None
     for epoch in range(epoch0, max_epoch):
         for batch in batch_iterator(
             train_dataset, cfg.batch_size, shuffle=True, seed=seed + epoch
@@ -108,6 +149,8 @@ def run_training(
                 gen_state, disc_state, metrics = trainer.step(
                     gen_state, disc_state, batch, krng, flags
                 )
+            last_batch = batch
+            last_flags = flags
             it += 1
             with timer.phase("log"):
                 acc.add(jax.device_get(metrics))
@@ -133,6 +176,16 @@ def run_training(
                 for sig, h in prev_handlers.items():
                     signal.signal(sig, h)
                 return gen_state, disc_state
+
+        # end of epoch: visual dumps (reference dumps meshes/PNGs of the last
+        # train batch, train.py:771, 789-849)
+        if vis_at_epoch_end and last_batch is not None:
+            try:
+                _dump_visuals(
+                    trainer, cfg, gen_state, last_batch, it, epoch, save_dir, last_flags
+                )
+            except Exception as e:  # vis must never kill training
+                print(f"visual dump failed: {e}")
 
         # end of epoch: validation + checkpoint (train.py:1294-1320)
         if val_dataset is not None:
