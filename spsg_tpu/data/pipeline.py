@@ -510,14 +510,32 @@ def batch_iterator(
     stop = threading.Event()
 
     def _producer():
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        # bounded submission window: at most num_prefetch + num_workers
+        # batches are in flight or buffered, so memory stays O(prefetch)
+        # regardless of dataset size
         with ThreadPoolExecutor(max_workers=num_workers) as ex:
-            futs = [ex.submit(lambda b=b: collate([dataset[i] for i in b])) for b in batches]
-            for fut in futs:
-                if stop.is_set():
-                    return
-                q.put(fut.result())
+            window: "deque" = deque()
+            it = iter(batches)
+            try:
+                while True:
+                    while len(window) < num_prefetch + num_workers:
+                        b = next(it, None)
+                        if b is None:
+                            break
+                        window.append(
+                            ex.submit(lambda b=b: collate([dataset[i] for i in b]))
+                        )
+                    if not window:
+                        break
+                    if stop.is_set():
+                        return
+                    q.put(window.popleft().result())
+            finally:
+                for f in window:
+                    f.cancel()
         q.put(None)
 
     t = threading.Thread(target=_producer, daemon=True)
