@@ -271,7 +271,9 @@ class ChunkDataset:
         num_overfit: int = 0,
         seed: int = 0,
         input_dim=None,
+        max_num_frames: int = 1,
     ):
+        self.max_num_frames = max_num_frames
         # rescale chunks when training at a non-native resolution (reference
         # scene_dataloader.py:170-175: native z-heights are 96/128/160)
         self.rescale = None
@@ -355,22 +357,37 @@ class ChunkDataset:
         sample["name"] = name
 
         if self.frame_info_path and self.frame_path:
-            frame = self._load_frame_for(name)
-            if frame is None:
+            frames = self._load_frames_for(name)
+            if frames is None:
                 sample["frames_missing"] = np.array(True)
             else:
-                depth, color, pose, intr = frame
+                depths, colors_f, poses, intrs = frames
                 if self.color_space == "lab":
-                    c = np.transpose(color, (1, 2, 0))
-                    c = colorspace.rgb_to_lab01(c)
-                    color = np.transpose(c, (2, 0, 1)).astype(np.float32)
-                sample["images_depth"] = depth
-                sample["images_color"] = color
-                sample["images_view"] = (sample["world2grid"] @ pose).astype(np.float32)
-                sample["images_intrinsic"] = intr
+                    converted = []
+                    for color in colors_f:
+                        c = np.transpose(color, (1, 2, 0))
+                        c = colorspace.rgb_to_lab01(c)
+                        converted.append(np.transpose(c, (2, 0, 1)).astype(np.float32))
+                    colors_f = converted
+                views = [
+                    (sample["world2grid"] @ pose).astype(np.float32) for pose in poses
+                ]
+                if self.max_num_frames == 1:
+                    sample["images_depth"] = depths[0]
+                    sample["images_color"] = colors_f[0]
+                    sample["images_view"] = views[0]
+                    sample["images_intrinsic"] = intrs[0]
+                else:  # (F, ...) stacks -> (B, F, ...) after collate
+                    sample["images_depth"] = np.stack(depths)
+                    sample["images_color"] = np.stack(colors_f)
+                    sample["images_view"] = np.stack(views)
+                    sample["images_intrinsic"] = np.stack(intrs)
         return sample
 
-    def _load_frame_for(self, name: str):
+    def _load_frames_for(self, name: str):
+        """Load max_num_frames RGB-D frames for a chunk (reference
+        load_frames, data_util.py:862-902; returns None when not enough
+        frames exist — the reference skip, data_util.py:874-876)."""
         scene = name.split("_room")[0]
         frame_file = os.path.join(
             self.frame_info_path, name.replace("__inc__", "__cmp__") + ".txt"
@@ -380,21 +397,29 @@ class ChunkDataset:
         else:
             if not os.path.isfile(frame_file):
                 return None
-            ids = read_frame_ids(frame_file, self.randomize_frames, 1, self.rng)
-        if not ids:
-            return None
-        f = ids[0]
-        base = os.path.join(self.frame_path, scene)
-        try:
-            return load_frame(
-                os.path.join(base, "depth", f"{f}.png"),
-                os.path.join(base, "color", f"{f}.jpg"),
-                os.path.join(base, "camera", f"{f}.txt"),
-                self.image_dims,
-                load_depth=self.load_depth,
+            ids = read_frame_ids(
+                frame_file, self.randomize_frames, self.max_num_frames, self.rng
             )
-        except (OSError, ValueError):
+        if len(ids) < self.max_num_frames:
             return None
+        base = os.path.join(self.frame_path, scene)
+        depths, colors_f, poses, intrs = [], [], [], []
+        for f in ids:
+            try:
+                depth, color, pose, intr = load_frame(
+                    os.path.join(base, "depth", f"{f}.png"),
+                    os.path.join(base, "color", f"{f}.jpg"),
+                    os.path.join(base, "camera", f"{f}.txt"),
+                    self.image_dims,
+                    load_depth=self.load_depth,
+                )
+            except (OSError, ValueError):
+                return None
+            depths.append(depth)
+            colors_f.append(color)
+            poses.append(pose)
+            intrs.append(intr)
+        return depths, colors_f, poses, intrs
 
 
 class SceneDataset:

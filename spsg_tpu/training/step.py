@@ -228,10 +228,40 @@ class Trainer:
         metrics: Dict[str, jax.Array] = {}
         B = target_sdf.shape[0]
 
-        view = batch["images_view"]  # (B,4,4) cam->grid
-        intr = batch["images_intrinsic"]
-        images_depth = batch["images_depth"]  # (B,H,W) meters
-        images_color = jnp.transpose(batch["images_color"], (0, 2, 3, 1))  # (B,H,W,3)
+        # multiple frames per chunk: (B, F, ...) image tensors flatten to a
+        # (B*F) frame batch and every volume repeats F times (reference
+        # RaycastRGBD max_num_frames + compute_view_matrix, style.py:9-16)
+        images_depth = batch["images_depth"]
+        if images_depth.ndim == 4:  # (B, F, H, W)
+            n_frames = images_depth.shape[1]
+            images_depth = images_depth.reshape((-1,) + images_depth.shape[2:])
+            images_color = batch["images_color"].reshape(
+                (-1,) + batch["images_color"].shape[2:]
+            )
+            view = batch["images_view"].reshape(-1, 4, 4)
+            intr = batch["images_intrinsic"].reshape(-1, 4)
+        else:
+            n_frames = 1
+            images_color = batch["images_color"]
+            view = batch["images_view"]  # (B,4,4) cam->grid
+            intr = batch["images_intrinsic"]
+        images_color = jnp.transpose(images_color, (0, 2, 3, 1))  # (B*F,H,W,3)
+
+        def rep(g):
+            return jnp.repeat(g, n_frames, axis=0) if n_frames > 1 else g
+
+        target_sdf = rep(target_sdf)
+        input_occ = rep(input_occ)
+        pred_sdf_g = rep(pred_sdf_g)
+        surface_pred = rep(surface_pred)
+        if pred_color is not None:
+            pred_color = rep(pred_color)
+        if pred_sem is not None:
+            pred_sem = rep(pred_sem)
+        semantics_grid_labels = rep(batch["semantics"]) if "semantics" in batch else None
+        input_grid = rep(batch["input"])
+        target_colors255 = rep(batch["target_colors"])
+        B = target_sdf.shape[0]  # = original B * n_frames from here on
 
         images_normals, _, frames_ok = depth_ops.depth_to_normals(
             images_depth, intr, cfg.max_depth_fill_iters
@@ -242,9 +272,9 @@ class Trainer:
         view_inv_rot = jnp.linalg.inv(view)[:, :3, :3]
 
         # --- input grids (train.py:556-577) ---
-        input_sdf = batch["input"][..., 0]
+        input_sdf = input_grid[..., 0]
         input_valid = jnp.abs(input_sdf) < trunc
-        input_colors01 = batch["input"][..., 1:4]
+        input_colors01 = input_grid[..., 1:4]
         input_normals = normals3d.surface_normals(
             input_sdf, jnp.ones_like(input_valid), view_inv_rot
         )
@@ -261,11 +291,15 @@ class Trainer:
 
         # --- target grids (train.py:579-616) ---
         tgt_valid = jnp.abs(target_sdf) < trunc
-        tgt_colors01 = batch["target_colors"] / 255.0
+        tgt_colors01 = target_colors255 / 255.0
         tgt_normals = jax.lax.stop_gradient(
             normals3d.surface_normals(target_sdf, tgt_valid, view_inv_rot)
         )
-        sem_onehot = jax.nn.one_hot(batch["semantics"].astype(jnp.int32), 15)[..., :14]
+        sem_onehot = (
+            jax.nn.one_hot(semantics_grid_labels.astype(jnp.int32), 15)[..., :14]
+            if semantics_grid_labels is not None
+            else jnp.zeros(target_sdf.shape + (14,), jnp.float32)
+        )
 
         # --- prediction grids (train.py:617-632) ---
         pred_normals = normals3d.surface_normals(pred_sdf_g, surface_pred, view_inv_rot)

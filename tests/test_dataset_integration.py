@@ -78,3 +78,56 @@ def test_batch_iterator(tmp_path):
         assert batch["input"].shape[0] == 1
         n += 1
     assert n == len(ds)
+
+
+def test_disk_frame_loading(tmp_path):
+    """RGB-D frame loading from the reference's on-disk layout
+    (scene/depth/N.png 16-bit mm, scene/color/N.jpg, scene/camera/N.txt —
+    data_util.py:837-902), single- and multi-frame."""
+    from PIL import Image
+
+    files = _make_room_chunks(tmp_path, "sceneA_room0", seed=2)
+    # frame files for every chunk
+    frame_info = tmp_path / "frameinfo"
+    frame_info.mkdir()
+    scene_dir = tmp_path / "frames" / "sceneA"
+    for sub in ("depth", "color", "camera"):
+        (scene_dir / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for fid in (0, 1):
+        depth_mm = (rng.random((48, 64)) * 3000 + 500).astype(np.uint16)
+        Image.fromarray(depth_mm, mode="I;16").save(scene_dir / "depth" / f"{fid}.png")
+        color = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(color).save(scene_dir / "color" / f"{fid}.jpg")
+        pose = np.eye(4)
+        intr = np.eye(4)
+        intr[0, 0] = intr[1, 1] = 60.0
+        intr[0, 2] = 32.0
+        intr[1, 2] = 24.0
+        lines = [" ".join(str(x) for x in row) for row in np.vstack([pose, intr])]
+        (scene_dir / "camera" / f"{fid}.txt").write_text("\n".join(lines))
+    for f in files:
+        name = os.path.splitext(os.path.basename(f))[0].replace("__inc__", "__cmp__")
+        (frame_info / f"{name}.txt").write_text("0\n1\n")
+
+    ds = pipeline.ChunkDataset(
+        files, truncation=3.0, load_semantic=True,
+        frame_info_path=str(frame_info), frame_path=str(tmp_path / "frames"),
+        image_dims=(64, 48), load_depth=True, randomize_frames=False,
+    )
+    s = ds[0]
+    assert s["images_depth"].shape == (48, 64)
+    assert s["images_color"].shape == (3, 48, 64)
+    assert s["images_view"].shape == (4, 4)
+    assert s["images_intrinsic"].shape == (4,)
+    assert 0.4 < s["images_depth"].mean() < 4.0  # meters
+
+    ds2 = pipeline.ChunkDataset(
+        files, truncation=3.0, load_semantic=True,
+        frame_info_path=str(frame_info), frame_path=str(tmp_path / "frames"),
+        image_dims=(64, 48), load_depth=True, randomize_frames=False,
+        max_num_frames=2,
+    )
+    s2 = ds2[0]
+    assert s2["images_depth"].shape == (2, 48, 64)
+    assert s2["images_view"].shape == (2, 4, 4)

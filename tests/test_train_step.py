@@ -178,3 +178,20 @@ def test_missing_color_weighting_path():
     _, _, metrics = trainer.step(gen_state, disc_state, batch, jax.random.PRNGKey(1), flags)
     for k in ("loss", "loss_color", "loss_disc"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_multi_frame_supervision():
+    """F=2 frames per chunk: (B,F,...) image tensors drive the 2D losses over
+    a B*F frame batch (reference RaycastRGBD max_num_frames)."""
+    cfg = _tiny_cfg()
+    gen_state, disc_state = init_states(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg)
+    batch = _batch(cfg, with_frames=True)
+    for k in ("images_depth", "images_color", "images_view", "images_intrinsic"):
+        v = batch[k]
+        batch[k] = jnp.stack([v, v], axis=1)  # (B, 2, ...)
+    flags = StepFlags(pred_sdf=True, pred_color=True, pred_semantic=True,
+                      use_2d=True, use_disc=True)
+    _, _, metrics = trainer.step(gen_state, disc_state, batch, jax.random.PRNGKey(1), flags)
+    for k in ("loss", "loss_depth", "loss_color", "loss_disc", "loss_gen"):
+        assert np.isfinite(float(metrics[k])), k
