@@ -91,6 +91,10 @@ class GeneratorConfig:
     input_mask: bool = True  # nf_in_color > 3 (model.py:172)
     num_classes: int = NUM_CLASSES
     dtype: Optional[str] = None  # 'bfloat16' for MXU-friendly compute
+    # rematerialize activations in the backward pass (jax.checkpoint per
+    # conv block): trades ~30% more FLOPs for large activation-memory savings
+    # — enables bigger batches on one chip
+    remat: bool = False
 
 
 class Generator(nn.Module):
@@ -115,6 +119,9 @@ class Generator(nn.Module):
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
         d = cfg.max_dilation
         dil = [min(2, d), min(4, d), min(8, d), min(16, d)]
+        Block = (
+            nn.remat(ConvBlock, static_argnums=(2,)) if cfg.remat else ConvBlock
+        )
 
         if cfg.input_mask:
             x = jnp.concatenate([x, mask], axis=-1)
@@ -128,27 +135,27 @@ class Generator(nn.Module):
             x_geo = x_geo.astype(dtype)
 
         # === geometry branch (model.py:194-242) ===
-        g = ConvBlock(nf // 2, (5, 5, 5), 1, 2, dtype=dtype, name="geo_0a")(x_geo, train)
-        g = ConvBlock(nf, (4, 4, 4), 2, 1, dtype=dtype, name="geo_0b")(g, train)
-        g = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_0c")(g, train)
-        g = ConvBlock(2 * nf, (4, 4, 4), 2, 1, dtype=dtype, name="geo_1a")(g, train)
-        g = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_1b")(g, train)
-        g = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_1c")(g, train)
-        g = ConvBlock(
+        g = Block(nf // 2, (5, 5, 5), 1, 2, dtype=dtype, name="geo_0a")(x_geo, train)
+        g = Block(nf, (4, 4, 4), 2, 1, dtype=dtype, name="geo_0b")(g, train)
+        g = Block(nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_0c")(g, train)
+        g = Block(2 * nf, (4, 4, 4), 2, 1, dtype=dtype, name="geo_1a")(g, train)
+        g = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_1b")(g, train)
+        g = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_1c")(g, train)
+        g = Block(
             2 * nf, (3, 3, 3), 1, dil[0], dilation=dil[0], dtype=dtype, name="geo_1d"
         )(g, train)
         g = upsample2x(g)
-        g = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_2a")(g, train)
-        g = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_2b")(g, train)
+        g = Block(nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_2a")(g, train)
+        g = Block(nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_2b")(g, train)
         geo = upsample2x(g)
 
-        occ = ConvBlock(nf // 2, (3, 3, 3), 1, 1, dtype=dtype, name="geo_occ_a")(geo, train)
-        out_occ = ConvBlock(1, (3, 3, 3), 1, 1, act=False, bn=False, name="geo_occ_b")(
+        occ = Block(nf // 2, (3, 3, 3), 1, 1, dtype=dtype, name="geo_occ_a")(geo, train)
+        out_occ = Block(1, (3, 3, 3), 1, 1, act=False, bn=False, name="geo_occ_b")(
             occ, train
         )
-        s = ConvBlock(nf // 2, (3, 3, 3), 1, 1, dtype=dtype, name="geo_3a")(geo, train)
-        s = ConvBlock(nf // 2, (3, 3, 3), 1, 1, dtype=dtype, name="geo_3b")(s, train)
-        out_sdf = ConvBlock(1, (3, 3, 3), 1, 1, act=False, bn=False, name="geo_3c")(s, train)
+        s = Block(nf // 2, (3, 3, 3), 1, 1, dtype=dtype, name="geo_3a")(geo, train)
+        s = Block(nf // 2, (3, 3, 3), 1, 1, dtype=dtype, name="geo_3b")(s, train)
+        out_sdf = Block(1, (3, 3, 3), 1, 1, act=False, bn=False, name="geo_3c")(s, train)
 
         out_color = None
         out_semantic = None
@@ -163,29 +170,29 @@ class Generator(nn.Module):
                 enc_in = x_color
             if dtype is not None:
                 enc_in = enc_in.astype(dtype)
-            e = ConvBlock(nf, (5, 5, 5), 1, 2, dtype=dtype, name="encoder_0a")(enc_in, train)
-            e = ConvBlock(2 * nf, (4, 4, 4), 2, 1, dtype=dtype, name="encoder_0b")(e, train)
-            e = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="encoder_0c")(e, train)
+            e = Block(nf, (5, 5, 5), 1, 2, dtype=dtype, name="encoder_0a")(enc_in, train)
+            e = Block(2 * nf, (4, 4, 4), 2, 1, dtype=dtype, name="encoder_0b")(e, train)
+            e = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="encoder_0c")(e, train)
             if cfg.pass_geo_feats:
-                pg = ConvBlock(nf, (4, 4, 4), 2, 1, dtype=dtype, name="encoder_geo")(
+                pg = Block(nf, (4, 4, 4), 2, 1, dtype=dtype, name="encoder_geo")(
                     geo, train
                 )
                 e = jnp.concatenate([e, pg], axis=-1)
             encoded_half = e
-            e = ConvBlock(5 * nf, (4, 4, 4), 2, 1, dtype=dtype, name="encoder_1a")(e, train)
-            e = ConvBlock(5 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="encoder_1b")(e, train)
-            e = ConvBlock(5 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="encoder_1c")(e, train)
+            e = Block(5 * nf, (4, 4, 4), 2, 1, dtype=dtype, name="encoder_1a")(e, train)
+            e = Block(5 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="encoder_1b")(e, train)
+            e = Block(5 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="encoder_1c")(e, train)
             dec = upsample2x(e)
-            dec = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_2a")(dec, train)
-            dec = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_2b")(dec, train)
-            dec = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_2c")(dec, train)
+            dec = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_2a")(dec, train)
+            dec = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_2b")(dec, train)
+            dec = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_2c")(dec, train)
             dec = jnp.concatenate([dec, encoded_half], axis=-1)
             dec = upsample2x(dec)
-            dec = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3a")(dec, train)
-            dec = ConvBlock(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3b")(dec, train)
-            dec = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3c")(dec, train)
-            dec = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3d")(dec, train)
-            dec = ConvBlock(nf, (3, 3, 3), 1, 1, act=False, bn=False, dtype=dtype, name="decoder_3e")(
+            dec = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3a")(dec, train)
+            dec = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3b")(dec, train)
+            dec = Block(nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3c")(dec, train)
+            dec = Block(nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3d")(dec, train)
+            dec = Block(nf, (3, 3, 3), 1, 1, act=False, bn=False, dtype=dtype, name="decoder_3e")(
                 dec, train
             )
             dec = jnp.concatenate([dec, x.astype(dec.dtype)], axis=-1)
@@ -196,9 +203,9 @@ class Generator(nn.Module):
                     dtype=dtype, name="color_head_bn0",
                 )(dec)
                 c = nn.leaky_relu(c, 0.2)
-                c = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="color_head_a")(c, train)
-                c = ConvBlock(nf // 2, (3, 3, 3), 1, 1, dtype=dtype, name="color_head_b")(c, train)
-                c = ConvBlock(3, (3, 3, 3), 1, 1, act=False, bn=False, name="color_head_c")(
+                c = Block(nf, (3, 3, 3), 1, 1, dtype=dtype, name="color_head_a")(c, train)
+                c = Block(nf // 2, (3, 3, 3), 1, 1, dtype=dtype, name="color_head_b")(c, train)
+                c = Block(3, (3, 3, 3), 1, 1, act=False, bn=False, name="color_head_c")(
                     c, train
                 )
                 out_color = jnp.clip(c, -1.0, 1.0)
@@ -209,9 +216,9 @@ class Generator(nn.Module):
                     dtype=dtype, name="semantic_head_bn0",
                 )(dec)
                 t = nn.leaky_relu(t, 0.2)
-                t = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="semantic_head_a")(t, train)
-                t = ConvBlock(nf, (3, 3, 3), 1, 1, dtype=dtype, name="semantic_head_b")(t, train)
-                out_semantic = ConvBlock(
+                t = Block(nf, (3, 3, 3), 1, 1, dtype=dtype, name="semantic_head_a")(t, train)
+                t = Block(nf, (3, 3, 3), 1, 1, dtype=dtype, name="semantic_head_b")(t, train)
+                out_semantic = Block(
                     cfg.num_classes, (3, 3, 3), 1, 1, act=False, bn=False, name="semantic_head_c"
                 )(t, train)
 

@@ -115,3 +115,30 @@ def test_discriminator_shapes():
     assert out.shape == (2, 8, 10, 1)  # 256/2^5, 320/2^5
     valid = disc.compute_valids(jnp.ones((2, 256, 320, 1)))
     assert valid.shape == (2, 8, 10, 1)
+
+
+def test_remat_matches_plain():
+    """remat=True must be numerically identical in forward and keep grads
+    finite (it only changes what the backward rematerializes)."""
+    import jax.numpy as _jnp
+
+    cfg = GeneratorConfig(nf=4)
+    gen, variables = _init(cfg)
+    gen_r = Generator(GeneratorConfig(nf=4, remat=True))
+    x = jnp.asarray(np.random.default_rng(0).uniform(-3, 3, (1, 16, 16, 16, 4)).astype(np.float32))
+    m = jnp.zeros((1, 16, 16, 16, 1))
+    out_a = gen.apply(variables, x, m, pred_color=True, pred_sdf=True, pred_semantic=True, train=False)
+    out_b = gen_r.apply(variables, x, m, pred_color=True, pred_sdf=True, pred_semantic=True, train=False)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def loss(p):
+        occ, sdf, col, sem = gen_r.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, x, m,
+            pred_color=True, pred_sdf=True, pred_semantic=True, train=False,
+        )
+        return _jnp.mean(occ**2) + _jnp.mean(sdf**2) + _jnp.mean(col**2)
+
+    g = jax.grad(loss)(variables["params"])
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
