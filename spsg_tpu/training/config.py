@@ -71,6 +71,7 @@ class TrainConfig:
     min_num_valid_2d: int = 2000  # train.py:662
     # tpu
     compute_dtype: Optional[str] = None  # 'bfloat16' to run convs on the MXU in bf16
+    remat: bool = False  # rematerialize generator activations (bigger batches)
 
     def __post_init__(self):
         assert self.disc_loss_type in GAN_TYPES
