@@ -204,7 +204,10 @@ def _ray_aabb(origin, direction, lo, hi):
     full-range loop. lo/hi: (B, 3) in xyz order."""
     o = origin[:, None, :]
     d = direction
-    inv = jnp.where(jnp.abs(d) > 1e-9, 1.0 / d, jnp.sign(d) * 1e9 + 1e9)
+    # slab-parallel rays (|d| ~ 0): a huge inverse of either sign works —
+    # min/max over (t0, t1) keeps the slab unbounded when the origin is
+    # inside it and empty when outside
+    inv = jnp.where(jnp.abs(d) > 1e-9, 1.0 / jnp.where(jnp.abs(d) > 1e-9, d, 1.0), 1e12)
     t0 = (lo[:, None, :] - o) * inv
     t1 = (hi[:, None, :] - o) * inv
     tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
