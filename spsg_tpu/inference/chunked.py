@@ -109,6 +109,7 @@ def run_chunked_inference(
     pred_color: bool = True,
     pred_semantic: bool = True,
     mesh=None,
+    skip_empty_windows: bool = False,
 ) -> SceneOutputs:
     """Stitched scene completion + IoU accumulation."""
     # crop height (test_scene_as_chunks.py:120-132)
@@ -125,12 +126,20 @@ def run_chunked_inference(
     cz, cy, cx = chunk_dims
     n_classes = category.NUM_CLASSES
 
-    # gather non-empty windows (skip rule test_scene_as_chunks.py:158-160)
+    # Window selection: the reference's "empty chunk" test
+    # (test_scene_as_chunks.py:158-160) includes the [0,1] color channels in
+    # its occupancy check, so it effectively never skips an in-bounds window —
+    # every window gets a prediction and enters the IoU accumulators. We match
+    # that (process all windows); `skip_empty_windows=True` restores the
+    # stricter SDF-only skip as an opt-in speed knob (metrics then become
+    # incomparable to reference numbers on scenes with empty-input windows).
     positions = []
     for y, x in window_positions(scene_dims[1:], (cy, cx), stride):
-        win = scene_input[:cz, y : y + cy, x : x + cx, 0]
-        if np.any(np.abs(win) < truncation):
-            positions.append((int(y), int(x)))
+        if skip_empty_windows:
+            win = scene_input[:cz, y : y + cy, x : x + cx, 0]
+            if not np.any(np.abs(win) < truncation):
+                continue
+        positions.append((int(y), int(x)))
     if not positions:
         raise ValueError("scene has no occupied windows")
 

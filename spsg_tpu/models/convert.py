@@ -11,7 +11,7 @@ weights transpose OIZYX -> ZYXIO."""
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -91,11 +91,17 @@ def convert_generator_state_dict(state_dict) -> Dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
-def load_reference_checkpoint(path: str) -> Dict:
-    """Load a reference .pth Generator checkpoint into Flax variables."""
+def load_reference_checkpoint(path: str) -> Tuple[Dict, int]:
+    """Load a reference .pth Generator checkpoint into Flax variables.
+
+    Returns (variables, epoch). The reference stores
+    {'epoch','state_dict','optimizer'} (train.py:1316-1320); the torch Adam
+    moments are NOT converted (optax state layout differs) — resuming from a
+    .pth restarts the optimizer with fresh moments at the stored epoch."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu")
     sd = ckpt.get("state_dict", ckpt)
+    epoch = int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
-    return convert_generator_state_dict(sd)
+    return convert_generator_state_dict(sd), epoch

@@ -10,6 +10,7 @@ welded vertices, trilinear per-vertex colors) with a pure-numpy fallback. PLY
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import struct
 import subprocess
@@ -29,9 +30,14 @@ def _build_native() -> Optional[ctypes.CDLL]:
         return None
     here = os.path.dirname(os.path.abspath(__file__))
     src = os.path.join(here, "mesh_native", "mesh_extract.cpp")
-    out = os.path.join(here, "mesh_native", "libmesh_extract.so")
     try:
-        if not os.path.isfile(out) or os.path.getmtime(out) < os.path.getmtime(src):
+        # name the binary by the source content hash: a fresh checkout (which
+        # resets mtimes) or a stale/wrong-arch leftover can never shadow a
+        # changed source — the hash misses and we rebuild
+        with open(src, "rb") as f:
+            digest = hashlib.sha1(f.read()).hexdigest()[:12]
+        out = os.path.join(here, "mesh_native", f"libmesh_extract-{digest}.so")
+        if not os.path.isfile(out):
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out],
                 check=True,

@@ -63,6 +63,9 @@ class TrainConfig:
     max_depth_fill_iters: int = 40
     raycast_depth_min: float = 0.1  # meters
     raycast_depth_max: float = 6.0  # meters
+    # the occupancy raycaster used for the missing-color masks is built with
+    # a shallower range than the color raycaster (train.py:146-148)
+    raycast_occ_depth_max: float = 4.0  # meters
     # adversarial
     patch_disc: bool = True
     patch_size: int = 96

@@ -137,12 +137,14 @@ def load_any_checkpoint(path: str, gen_state: GenState, disc_state: Optional[Dis
     if path.endswith(".pth"):
         from ..models.convert import load_reference_checkpoint
 
-        variables = load_reference_checkpoint(path)
+        variables, epoch = load_reference_checkpoint(path)
         gen_state = gen_state.replace(
             params=jax.tree_util.tree_map(jnp.asarray, variables["params"]),
             batch_stats=jax.tree_util.tree_map(jnp.asarray, variables["batch_stats"]),
         )
-        return gen_state, disc_state, 0
+        # epoch restored from the .pth (reference train.py:165-170); torch
+        # Adam moments are not converted — optimizer starts fresh.
+        return gen_state, disc_state, epoch
     return load_checkpoint(path, gen_state, disc_state)
 
 

@@ -281,12 +281,18 @@ class Trainer:
 
         # --- per-pixel color weights for missing regions (train.py:546-554) ---
         weight_color = None
+        missing2d = None
         if cfg.weight_missing_color > 1:
             from ..ops.raycast import raycast_occ
 
+            # the reference's RaycastOcc uses a shallower 4 m range than the
+            # color raycaster (train.py:146-148)
+            rc_occ = dataclasses.replace(
+                rc, depth_max=cfg.raycast_occ_depth_max / cfg.voxelsize
+            )
             missing3d = geo_losses.missing_geo_mask(input_occ, target_sdf, trunc)
-            missing2d = raycast_occ(missing3d, view, intr, rc).astype(bool)
-            tgt_mask2d = raycast_occ(jnp.abs(target_sdf) < 1, view, intr, rc).astype(bool)
+            missing2d = raycast_occ(missing3d, view, intr, rc_occ).astype(bool)
+            tgt_mask2d = raycast_occ(jnp.abs(target_sdf) < 1, view, intr, rc_occ).astype(bool)
             weight_color = jnp.where(tgt_mask2d & missing2d, cfg.weight_missing_color, 1.0)
 
         # --- target grids (train.py:579-616) ---
@@ -420,6 +426,12 @@ class Trainer:
             style_pred, style_tgt = twod_losses.preprocess_rendered_target_images(
                 style_pred, style_tgt
             )
+            if missing2d is not None:
+                # when weight_missing_color > 1 the reference restricts style/
+                # content to missing regions by copying target pixels into
+                # every non-missing render pixel (train.py:679-681,
+                # style.py:24-29)
+                style_pred = jnp.where(missing2d[..., None], style_pred, style_tgt)
             vgg_model, vgg_params = self.vgg
             f_out = vgg_model.apply({"params": vgg_params}, style_pred)
             f_tgt = vgg_model.apply({"params": vgg_params}, style_tgt)
