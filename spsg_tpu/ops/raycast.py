@@ -63,20 +63,18 @@ class RaycastConfig:
     thresh_sample_dist: float = 50.5 * 0.9
     max_dir_slack: float = 1.45  # bounds depthToRayLength for the step count
     bisection_iters: int = 3
-    # fast_march: coarse pass uses nearest-voxel int8 sign/validity lookups
-    # (1 byte/sample instead of a 32-byte trilerp cell row) at
-    # coarse_step_factor x the ray increment to bracket the crossing, then
-    # confirms each candidate in-loop with exact trilerp samples
-    # (unconfirmed rays keep marching). The narrowest sign band of a
-    # truncated SDF shell is (truncation - 1) voxels wide after nearest-voxel
-    # rounding (the +-truncation boundary voxels are invalid), so with the
-    # default truncation 3 / increment 0.9 the coarse step must stay <= 2.0
-    # voxels: factor 2.0 * 0.9 = 1.8.
-    # Default off: on real scenes the nearest-voxel coarse pass misses ~10%
-    # of grazing-ray hits (the NN sign bands fragment along oblique rays);
-    # the exact march keeps reference semantics.
-    fast_march: bool = False
-    coarse_step_factor: float = 2.0
+    # Conservative coarse skipping (default on — results are BIT-IDENTICAL
+    # to the plain march, see find_surface_crossings): a crossing needs two
+    # consecutive lattice samples whose trilerp cells are fully valid, so any
+    # lattice sample whose cell lies in a coarse block containing NO fully-
+    # valid cell is provably NaN and can be jumped without evaluation. One
+    # packed 8-channel gather row classifies the flags of a 2x2x2 block
+    # neighborhood (16^3 voxels at coarse_block=8), letting each hop skip up
+    # to SKIP_HORIZON provably-empty samples for the cost of a single row.
+    coarse_skip: bool = True
+    coarse_block: int = 8  # voxels per coarse block edge
+    coarse_hops: int = 2  # skip hops per march iteration (sequential gathers)
+    march_block: int = 16  # fine trilerp samples evaluated per iteration
 
     @property
     def max_steps(self) -> int:
@@ -239,7 +237,32 @@ def _valid_bounds(valid):
     return lo, hi
 
 
-MARCH_BLOCK = 32  # march steps evaluated per while-loop iteration
+SKIP_HORIZON = 32  # lattice samples classified per coarse-skip hop
+
+
+def build_block_windows(cell_ok: jax.Array, block: int) -> jax.Array:
+    """Coarse structure for the conservative march skip.
+
+    cell_ok: (B, Z, Y, X) bool — cell is fully trilerp-valid (all 8 corners).
+    Returns (B, nbz+2, nby+2, nbx+2, 8) float32: entry [base+1] packs the
+    "any fully-valid cell" flags of the 2x2x2 coarse blocks base..base+1
+    along each axis (channel order bit0=x, bit1=y, bit2=z, matching
+    build_march_cells), with a zero ring so windows touching — or lying
+    beyond — the grid border classify as empty (out-of-grid samples are
+    invalid anyway)."""
+    B, Z, Y, X = cell_ok.shape
+    nbz, nby, nbx = -(-Z // block), -(-Y // block), -(-X // block)
+    f = jnp.pad(
+        cell_ok, ((0, 0), (0, nbz * block - Z), (0, nby * block - Y), (0, nbx * block - X))
+    )
+    f = f.reshape(B, nbz, block, nby, block, nbx, block).any(axis=(2, 4, 6))
+    fp = jnp.pad(f.astype(jnp.float32), ((0, 0), (1, 2), (1, 2), (1, 2)))
+    chans = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                chans.append(fp[:, dz : dz + nbz + 2, dy : dy + nby + 2, dx : dx + nbx + 2])
+    return jnp.stack(chans, axis=-1)
 
 
 def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
@@ -248,15 +271,24 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
 
     sdf: (B, Z, Y, X) float32 (voxel units); valid: (B, Z, Y, X) bool.
 
-    TPU structure: the march runs MARCH_BLOCK steps at a time inside a
-    lax.while_loop — each iteration is one large contiguous-cell gather +
-    vectorized sign-change detection over (B, P, MARCH_BLOCK), and the loop
-    exits as soon as every ray has either found its bracket or left the
-    volume (per-ray AABB clipping)."""
+    TPU structure: all rays march in lockstep on the fixed lattice
+    t = t0 + k * ray_increment inside a lax.while_loop. Each iteration runs
+    (a) ``coarse_hops`` conservative skip hops — one packed 8-channel gather
+    classifies the next SKIP_HORIZON lattice samples against the 2x2x2
+    coarse-block window around the ray position and jumps the leading run of
+    provably-invalid samples (their trilerp cells sit in blocks with no
+    fully-valid cell, so the plain march would evaluate them to NaN; the
+    sample lattice is unchanged and ``prev`` is reset to NaN exactly as a
+    NaN evaluation would, making the skip BIT-IDENTICAL to the plain march) —
+    then (b) one fine block of ``march_block`` contiguous-cell trilerp
+    gathers + vectorized sign-change detection. The loop exits as soon as
+    every ray has either found its bracket or left the volume (per-ray AABB
+    clipping of the *valid* region)."""
     B = sdf.shape[0]
     dims = sdf.shape[1:4]
     P = cfg.width * cfg.height
-    cells_flat = build_march_cells(sdf, valid).reshape(B, -1, 8)
+    cells = build_march_cells(sdf, valid)
+    cells_flat = cells.reshape(B, -1, 8)
 
     origin, direction, cam_z = _camera_rays(view, intrinsics, cfg.width, cfg.height)
     # rayCurrent/rayEnd in ray-length units (kernel :194-197)
@@ -289,46 +321,91 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
             pz = oz + t * dz
         return _cell_trilerp(cells_flat, px, py, pz, dims)
 
-    if cfg.fast_march:
-        # nearest-voxel int8 codes: 0 invalid, 1 sdf >= 0, 2 sdf < 0
-        state = jnp.where(
-            valid, jnp.where(sdf >= 0, jnp.int8(1), jnp.int8(2)), jnp.int8(0)
-        ).reshape(B, -1)
-        Z, Y, X = dims
+    step = cfg.ray_increment
+    d0, _ = sample(t0)
+    prev0 = d0
 
-        def sample_code(t):
-            if t.ndim == 3:
-                px = ox[..., None] + t * dx[..., None]
-                py = oy[..., None] + t * dy[..., None]
-                pz = oz[..., None] + t * dz[..., None]
-            else:
-                px = ox + t * dx
-                py = oy + t * dy
-                pz = oz + t * dz
-            ix = jnp.floor(px + 0.5).astype(jnp.int32)
-            iy = jnp.floor(py + 0.5).astype(jnp.int32)
-            iz = jnp.floor(pz + 0.5).astype(jnp.int32)
-            inb = (ix >= 0) & (iy >= 0) & (iz >= 0) & (ix < X) & (iy < Y) & (iz < Z)
-            idx = _flat_index(
-                jnp.clip(ix, 0, X - 1), jnp.clip(iy, 0, Y - 1), jnp.clip(iz, 0, Z - 1), dims
-            )
-            code = jnp.take_along_axis(
-                state, idx.reshape(B, -1), axis=1, mode="clip"
-            ).reshape(idx.shape)
-            return jnp.where(inb, code, jnp.int8(0))
-
-        step = cfg.ray_increment * cfg.coarse_step_factor
-        prev0 = sample_code(t0)
-    else:
-        step = cfg.ray_increment
-        d0, _ = sample(t0)
-        prev0 = d0
-
+    F = cfg.march_block
     total_span = (cfg.depth_max - cfg.depth_min) * cfg.max_dir_slack
-    n_blocks = int(math.ceil(total_span / (step * MARCH_BLOCK)))
+    # every iteration advances every alive ray by >= F lattice steps (skips
+    # only add to that), so this bound is never the binding exit in practice
+    n_iter_max = int(math.ceil(total_span / (step * F))) + 1
+
+    if cfg.coarse_skip:
+        # cell is NaN-coded iff any corner invalid -> corner 0 finite == all ok
+        cell_ok = jnp.isfinite(cells[..., 0])
+        win = build_block_windows(cell_ok, cfg.coarse_block)
+        nbz, nby, nbx = win.shape[1] - 2, win.shape[2] - 2, win.shape[3] - 2
+        win_flat = win.reshape(B, -1, 8)
+        blockf = jnp.float32(cfg.coarse_block)
+        jj = jnp.arange(SKIP_HORIZON, dtype=jnp.float32)
+
+        def hop(k, prev, found):
+            """One conservative skip hop: classify the next SKIP_HORIZON
+            lattice samples with a single packed window gather, jump the
+            leading run of provably-invalid ones (and reset prev to NaN —
+            exactly what evaluating them would have produced)."""
+            t = t0 + k * step
+            dead = found | (t > t_stop)
+            tt = jnp.where(dead, t0, t)  # constant indices for dead rays
+            px = ox + tt * dx
+            py = oy + tt * dy
+            pz = oz + tt * dz
+            bx0 = jnp.floor(px / blockf)
+            by0 = jnp.floor(py / blockf)
+            bz0 = jnp.floor(pz / blockf)
+            # window covers blocks base..base+1; pick base so the ray moves
+            # into the window (direction ~0 on an axis keeps the current
+            # block inside either way)
+            basex = jnp.where(dx > 0, bx0, bx0 - 1.0)
+            basey = jnp.where(dy > 0, by0, by0 - 1.0)
+            basez = jnp.where(dz > 0, bz0, bz0 - 1.0)
+            usable = (
+                ~dead
+                & (basex >= -1) & (basex <= nbx)
+                & (basey >= -1) & (basey <= nby)
+                & (basez >= -1) & (basez <= nbz)
+            )
+            six = jnp.clip(basex + 1, 0, nbx + 1).astype(jnp.int32)
+            siy = jnp.clip(basey + 1, 0, nby + 1).astype(jnp.int32)
+            siz = jnp.clip(basez + 1, 0, nbz + 1).astype(jnp.int32)
+            widx = (siz * (nby + 2) + siy) * (nbx + 2) + six
+            row = jnp.take_along_axis(
+                win_flat, widx.reshape(B, -1, 1), axis=1, mode="clip"
+            ).reshape(B, P, 8)
+
+            tj = tt[..., None] + jj * step  # (B, P, S)
+            wx = jnp.floor((ox[..., None] + tj * dx[..., None]) / blockf) - basex[..., None]
+            wy = jnp.floor((oy[..., None] + tj * dy[..., None]) / blockf) - basey[..., None]
+            wz = jnp.floor((oz[..., None] + tj * dz[..., None]) / blockf) - basez[..., None]
+            in_win = (
+                usable[..., None]
+                & (wx >= 0) & (wx <= 1)
+                & (wy >= 0) & (wy <= 1)
+                & (wz >= 0) & (wz <= 1)
+            )
+            g = lambda ch: row[..., ch][..., None]
+            fz0 = jnp.where(
+                wy > 0.5,
+                jnp.where(wx > 0.5, g(3), g(2)),
+                jnp.where(wx > 0.5, g(1), g(0)),
+            )
+            fz1 = jnp.where(
+                wy > 0.5,
+                jnp.where(wx > 0.5, g(7), g(6)),
+                jnp.where(wx > 0.5, g(5), g(4)),
+            )
+            flag = jnp.where(wz > 0.5, fz1, fz0)
+            prov_invalid = in_win & (flag < 0.5)
+            run = jnp.cumprod(prov_invalid.astype(jnp.int32), axis=-1)
+            skip_n = jnp.sum(run, axis=-1).astype(jnp.float32)
+            k2 = k + skip_n
+            prev2 = jnp.where(skip_n > 0, jnp.nan, prev)
+            return k2, prev2
 
     init = dict(
-        blk=jnp.zeros((), jnp.int32),
+        it=jnp.zeros((), jnp.int32),
+        k=jnp.ones((B, P), jnp.float32),  # sample 0 evaluated as prev0
         prev=prev0,
         found=jnp.zeros((B, P), bool),
         t_lo=jnp.zeros((B, P), jnp.float32),
@@ -337,79 +414,47 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
         d_hi=jnp.zeros((B, P), jnp.float32),
     )
 
-    offs = jnp.arange(1, MARCH_BLOCK + 1, dtype=jnp.float32)
+    offs = jnp.arange(F, dtype=jnp.float32)
 
     def cond(c):
-        t_next = t0 + (c["blk"] * MARCH_BLOCK + 1).astype(jnp.float32) * step
-        alive = ~c["found"] & (t_next <= t_stop)
-        return (c["blk"] < n_blocks) & jnp.any(alive)
+        alive = ~c["found"] & (t0 + c["k"] * step <= t_stop)
+        return (c["it"] < n_iter_max) & jnp.any(alive)
 
     def body(c):
-        base = (c["blk"] * MARCH_BLOCK).astype(jnp.float32)
-        t = t0[..., None] + (base + offs) * step  # (B, P, K)
-        in_range = t <= t_stop[..., None]
+        k = c["k"]
+        prev = c["prev"]
+        if cfg.coarse_skip:
+            for _ in range(cfg.coarse_hops):
+                k, prev = hop(k, prev, c["found"])
+        t_base = t0 + k * step
+        # t from the exact integer sample index (k + offs is exact in f32):
+        # the same lattice sample yields the same float t no matter how the
+        # march partitioned iterations — keeps skip/plain bit-identical
+        treal = t0[..., None] + (k[..., None] + offs) * step  # (B, P, F)
+        in_range = treal <= t_stop[..., None]
         # finished/out-of-range rays sample a fixed position: the TPU gather
         # unit is locality-sensitive, so constant indices are ~30% cheaper
-        dead = c["found"] | (t0 + base * step > t_stop)
-        t = jnp.where(dead[..., None], t0[..., None], t)
-        if cfg.fast_march:
-            v = sample_code(t)  # int8 codes
-            vext = jnp.concatenate([c["prev"][..., None], v], axis=-1)
-            prev_v = vext[..., :-1]
-            crossing = in_range & (prev_v + v == 3)  # (1,2) or (2,1)
-        else:
-            v, _ = sample(t)  # NaN-coded trilerp values
-            vext = jnp.concatenate([c["prev"][..., None], v], axis=-1)
-            prev_v = vext[..., :-1]
-            # NaN comparisons are False, so validity of both samples is implied
-            crossing = (
-                in_range
-                & (prev_v * v < 0)
-                & (jnp.abs(prev_v - v) < cfg.thresh_sample_dist)
-                & (jnp.abs(v) < cfg.thresh_sample_dist)
-            )
+        dead = c["found"] | (t_base > t_stop)
+        t = jnp.where(dead[..., None], t0[..., None], treal)
+        v, _ = sample(t)  # NaN-coded trilerp values
+        vext = jnp.concatenate([prev[..., None], v], axis=-1)
+        prev_v = vext[..., :-1]
+        # NaN comparisons are False, so validity of both samples is implied
+        crossing = (
+            in_range
+            & (prev_v * v < 0)
+            & (jnp.abs(prev_v - v) < cfg.thresh_sample_dist)
+            & (jnp.abs(v) < cfg.thresh_sample_dist)
+        )
         any_cross = jnp.any(crossing, axis=-1)
         first = jnp.argmax(crossing, axis=-1)  # (B, P)
-        t_hit = jnp.take_along_axis(t, first[..., None], axis=-1)[..., 0]
-        if cfg.fast_march:
-            # confirm each coarse candidate with exact trilerp samples over
-            # the bracket (padded half a fine step on both sides — nearest
-            # and interpolated signs can disagree by < 1 voxel); unconfirmed
-            # rays keep marching
-            n_fine = int(math.ceil(cfg.coarse_step_factor)) + 2
-            span = step + cfg.ray_increment
-            fr = jnp.arange(n_fine, dtype=jnp.float32) / (n_fine - 1)
-            ts = (t_hit - step - 0.5 * cfg.ray_increment)[..., None] + fr * span
-            ts = jnp.where((any_cross & ~c["found"])[..., None], ts, t0[..., None])
-            vs, _ = sample(ts)
-            pv = vs[..., :-1]
-            nv = vs[..., 1:]
-            pair_cross = (
-                (pv * nv < 0)
-                & (jnp.abs(pv - nv) < cfg.thresh_sample_dist)
-                & (jnp.abs(nv) < cfg.thresh_sample_dist)
-            )
-            has_pair = jnp.any(pair_cross, axis=-1)
-            pidx = jnp.argmax(pair_cross, axis=-1)
-            record = any_cross & has_pair & ~c["found"]
-            t_lo = jnp.take_along_axis(ts, pidx[..., None], axis=-1)[..., 0]
-            t_hi2 = jnp.take_along_axis(ts, pidx[..., None] + 1, axis=-1)[..., 0]
-            d_lo = jnp.take_along_axis(vs, pidx[..., None], axis=-1)[..., 0]
-            d_hi = jnp.take_along_axis(vs, pidx[..., None] + 1, axis=-1)[..., 0]
-            return dict(
-                blk=c["blk"] + 1,
-                prev=v[..., -1],
-                found=c["found"] | record,
-                t_lo=jnp.where(record, t_lo, c["t_lo"]),
-                d_lo=jnp.where(record, d_lo, c["d_lo"]),
-                t_hi=jnp.where(record, t_hi2, c["t_hi"]),
-                d_hi=jnp.where(record, d_hi, c["d_hi"]),
-            )
+        t_hit = jnp.take_along_axis(treal, first[..., None], axis=-1)[..., 0]
         record = any_cross & ~c["found"]
         d_hit = jnp.take_along_axis(v, first[..., None], axis=-1)[..., 0]
         d_prev = jnp.take_along_axis(prev_v, first[..., None], axis=-1)[..., 0]
         return dict(
-            blk=c["blk"] + 1,
+            it=c["it"] + 1,
+            k=k + jnp.float32(F),
             prev=v[..., -1],
             found=c["found"] | record,
             t_lo=jnp.where(record, t_hit - step, c["t_lo"]),

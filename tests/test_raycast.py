@@ -188,40 +188,74 @@ def test_gradient_scatter_semantics():
     np.testing.assert_allclose(gs[np.abs(gs) > 1e-8], 1.0, atol=1e-5)
 
 
-def test_fast_march_matches_exact():
-    """fast_march (int8 coarse + trilerp refine) must agree with the exact
-    full-trilerp march on hit mask and depth."""
-    import dataclasses
-
-    dims = (64, 64, 64)
+def _oblique_camera(dims, image=(32, 24)):
+    """Camera outside the volume looking diagonally through it — exercises
+    grazing rays and negative direction components on every axis."""
+    w, h = image
     Z, Y, X = dims
-    c = np.array([24.0, 32.0, 32.0])
+    fx = 24.0
+    intr = np.array([fx, fx, w / 2.0, h / 2.0], dtype=np.float32)
+    # forward along (-1, -1, -1)/sqrt(3), positioned past the +corner
+    f = np.array([-1.0, -1.0, -1.0]) / np.sqrt(3.0)
+    r = np.cross([0.0, 0.0, 1.0], f)
+    r /= np.linalg.norm(r)
+    u = np.cross(f, r)
+    cam2grid = np.eye(4, dtype=np.float32)
+    cam2grid[:3, 0] = r  # camera x (xyz grid order: cols are x,y,z axes)
+    cam2grid[:3, 1] = u
+    cam2grid[:3, 2] = f
+    cam2grid[:3, 3] = [X * 1.1, Y * 1.1, Z * 1.1]
+    return cam2grid, intr
+
+
+def _blob_scene(dims=(64, 64, 64), trunc=3.0, seed=0):
+    """Union of random spheres — fragmented valid shells with lots of empty
+    space, the hard case for any skipping scheme."""
+    Z, Y, X = dims
+    rng = np.random.RandomState(seed)
     zz, yy, xx = np.meshgrid(
         np.arange(Z, dtype=np.float32),
         np.arange(Y, dtype=np.float32),
         np.arange(X, dtype=np.float32),
         indexing="ij",
     )
-    d = np.sqrt((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2) - 12.0
-    sdf = np.clip(d, -3.0, 3.0).astype(np.float32)
-    valid = np.abs(sdf) < 3.0
-    view, intr = _down_camera(dims, 60.0)
-    cfg_fast = _cfg()
-    cfg_exact = dataclasses.replace(cfg_fast, fast_march=False)
-
-    outs = {}
-    for name, cfg in (("fast", cfg_fast), ("exact", cfg_exact)):
-        out = raycast.raycast(
-            jnp.asarray(sdf[None]), jnp.asarray(valid[None]), None, None, None,
-            jnp.asarray(view[None]), jnp.asarray(intr[None]), cfg,
+    d = np.full(dims, 1e9, np.float32)
+    for _ in range(6):
+        c = rng.uniform(8, np.array([Z, Y, X]) - 8)
+        rad = rng.uniform(4, 10)
+        d = np.minimum(
+            d, np.sqrt((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2) - rad
         )
-        outs[name] = np.asarray(out.depth)[0]
-    hit_f = outs["fast"] != -np.inf
-    hit_e = outs["exact"] != -np.inf
-    # hit masks agree except possibly at a few grazing pixels
-    assert (hit_f != hit_e).mean() < 0.02
-    both = hit_f & hit_e
-    assert np.abs(outs["fast"][both] - outs["exact"][both]).max() < 0.5
+    sdf = np.clip(d, -trunc, trunc).astype(np.float32)
+    return sdf, np.abs(sdf) < trunc
+
+
+@pytest.mark.parametrize("hops,fine,cb", [(1, 16, 8), (2, 16, 8), (2, 8, 4), (4, 32, 8)])
+def test_coarse_skip_bit_identical(hops, fine, cb):
+    """The conservative coarse-skip march must reproduce the plain march
+    BIT-IDENTICALLY — it only jumps lattice samples that are provably NaN
+    (no fully-valid trilerp cell in their coarse block) and resets the prev
+    chain exactly as evaluating them would."""
+    import dataclasses
+
+    dims = (64, 64, 64)
+    sdf, valid = _blob_scene(dims)
+    base = _cfg(depth_max=200.0)
+    for cam in (_down_camera(dims, 60.0), _oblique_camera(dims)):
+        view, intr = cam
+        outs = {}
+        for name, skip in (("skip", True), ("plain", False)):
+            cfg = dataclasses.replace(
+                base, coarse_skip=skip, coarse_hops=hops, march_block=fine,
+                coarse_block=cb,
+            )
+            out = raycast.raycast(
+                jnp.asarray(sdf[None]), jnp.asarray(valid[None]), None, None, None,
+                jnp.asarray(view[None]), jnp.asarray(intr[None]), cfg,
+            )
+            outs[name] = np.asarray(out.depth)[0]
+        assert (outs["skip"] != -np.inf).sum() > 20  # scene actually hit
+        np.testing.assert_array_equal(outs["skip"], outs["plain"])
 
 
 def test_raycast_occ():

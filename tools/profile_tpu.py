@@ -68,16 +68,26 @@ def main():
         return (tgt0 + 0.0,)
 
     if args.march:
+        # plain march (no skipping) at a few fine-block sizes, then the
+        # conservative coarse-skip march over (fine block, hops, block size)
         for blk in (16, 32, 64):
-            rcm.MARCH_BLOCK = blk
-            f = jax.jit(lambda s: rcm.find_surface_crossings(s, valid, view, intr, rc0))
-            timed(f"march exact block={blk}", f, fresh_tgt)
-        for factor in (1.5, 2.0):
-            rcc = dataclasses.replace(rc0, fast_march=True, coarse_step_factor=factor)
-            f = jax.jit(lambda s: rcm.find_surface_crossings(s, valid, view, intr, rcc))
-            o = f(tgt0)
-            print(f"  fast f={factor} hit frac {float(jnp.mean(o['hit'].astype(jnp.float32))):.4f}")
-            timed(f"march fast f={factor}", f, fresh_tgt)
+            rcc = dataclasses.replace(rc0, coarse_skip=False, march_block=blk)
+            f = jax.jit(lambda s, r=rcc: rcm.find_surface_crossings(s, valid, view, intr, r))
+            timed(f"march plain F={blk}", f, fresh_tgt)
+        for fine in (8, 16, 32):
+            for hops in (1, 2, 4):
+                for cb in (4, 8):
+                    rcc = dataclasses.replace(
+                        rc0, coarse_skip=True, march_block=fine,
+                        coarse_hops=hops, coarse_block=cb,
+                    )
+                    f = jax.jit(
+                        lambda s, r=rcc: rcm.find_surface_crossings(s, valid, view, intr, r)
+                    )
+                    o = f(tgt0)
+                    hit = float(jnp.mean(o["hit"].astype(jnp.float32)))
+                    dt = timed(f"march skip F={fine} hops={hops} cb={cb}", f, fresh_tgt)
+                    print(f"  hit frac {hit:.4f}")
         return
 
     # components
