@@ -46,10 +46,20 @@ def cmd_scan(args):
     sc = scan.ScanConfig(chance_drop_frames=args.chance_drop_frames)
     inc = os.path.join(args.output_dir, f"{name}__inc__0")
     cmp_ = os.path.join(args.output_dir, f"{name}__cmp__0")
+    frame_dir = None
+    if args.export_frames:
+        # frame layout <frame_path>/<scene>/{depth,color,camera}/ consumed by
+        # the 2D-loss loader (reference data_util.py:862-902); the scene dir
+        # uses the same name rule as the loader (strip any _room<k> part)
+        frame_dir = os.path.join(
+            args.frame_path or args.output_dir, name.split("_room")[0]
+        )
     dims, _ = scan.virtual_scan(
-        verts, faces, colors, traj, inc, cmp_, fusion_cfg=cfg, scan_cfg=sc, seed=args.seed
+        verts, faces, colors, traj, inc, cmp_, fusion_cfg=cfg, scan_cfg=sc,
+        seed=args.seed, frame_export_dir=frame_dir,
     )
-    print(f"scanned {name}: dims {dims} -> {inc}.sdf / {cmp_}.sdf")
+    print(f"scanned {name}: dims {dims} -> {inc}.sdf / {cmp_}.sdf"
+          + (f" + {len(traj)} frames in {frame_dir}" if frame_dir else ""))
 
 
 def cmd_sens(args):
@@ -71,6 +81,7 @@ def cmd_chunk(args):
         chunk_dims=tuple(args.chunk_dims),
         stride=(args.stride, args.stride) if args.stride else None,
         min_surface_voxels=args.min_surface_voxels,
+        frame_info_dir=args.frame_info_dir or None,
     )
     print(f"wrote {len(files)} chunk pairs to {args.output_dir}")
 
@@ -137,6 +148,11 @@ def main(argv=None):
     ps.add_argument("--num_frames", type=int, default=48)
     ps.add_argument("--chance_drop_frames", type=float, default=0.8)
     ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--export_frames", action="store_true",
+                    help="write depth/color/camera frame files + trajectory "
+                    "sidecar for 2D-loss training")
+    ps.add_argument("--frame_path", default="",
+                    help="frame export root (default: output_dir)")
     ps.set_defaults(fn=cmd_scan)
 
     pn = sub.add_parser("sens")
@@ -155,6 +171,9 @@ def main(argv=None):
     pc.add_argument("--chunk_dims", type=int, nargs=3, default=[128, 64, 64])
     pc.add_argument("--stride", type=int, default=0)
     pc.add_argument("--min_surface_voxels", type=int, default=500)
+    pc.add_argument("--frame_info_dir", default="",
+                    help="where to write per-chunk frame-association txt "
+                    "(default: output_dir; requires a <cmp>.traj.npz sidecar)")
     pc.set_defaults(fn=cmd_chunk)
 
     pm = sub.add_parser("semantics")

@@ -275,10 +275,12 @@ class ChunkDataset:
     ):
         self.max_num_frames = max_num_frames
         # rescale chunks when training at a non-native resolution (reference
-        # scene_dataloader.py:170-175: native z-heights are 96/128/160)
-        self.rescale = None
+        # scene_dataloader.py:170-175: native z-heights are 96/128/160); the
+        # factor is resolved per chunk from its actual height in __getitem__
+        # so chunks already cut at input_dim load unscaled
+        self.target_height = None
         if input_dim is not None and input_dim[0] not in (96, 128, 160):
-            self.rescale = float(input_dim[0]) / 128.0
+            self.target_height = int(input_dim[0])
         tgt_tag = "__sem__" if load_semantic else "__cmp__"
         self.pairs = [
             (f, f.replace("__inc__", tgt_tag))
@@ -326,17 +328,18 @@ class ChunkDataset:
         known = tgt.known
         world2grid = tgt.world2grid
         semantics = tgt.semantics
-        if self.rescale is not None:
+        if self.target_height is not None and dims[0] != self.target_height:
+            rescale = float(self.target_height) / float(dims[0])
             (sdf_input, sdf_target, input_colors, target_colors, known, world2grid) = (
                 rescale_grids(
                     sdf_input, sdf_target, input_colors, target_colors, known,
-                    world2grid, self.rescale,
+                    world2grid, rescale,
                 )
             )
             if semantics is not None:
                 from scipy.ndimage import zoom
 
-                semantics = zoom(semantics, self.rescale, order=0, grid_mode=False)
+                semantics = zoom(semantics, rescale, order=0, grid_mode=False)
 
         scale = None
         if self.augment_hue:
@@ -388,7 +391,10 @@ class ChunkDataset:
         """Load max_num_frames RGB-D frames for a chunk (reference
         load_frames, data_util.py:862-902; returns None when not enough
         frames exist — the reference skip, data_util.py:874-876)."""
-        scene = name.split("_room")[0]
+        # scene dir: Matterport chunk names are "<scene>_room<k>__inc__<i>"
+        # (reference scene_dataloader.py:143-166); datagen-produced names may
+        # lack the "_room" part, so strip the chunk suffix first
+        scene = name.split("__inc__")[0].split("_room")[0]
         frame_file = os.path.join(
             self.frame_info_path, name.replace("__inc__", "__cmp__") + ".txt"
         )

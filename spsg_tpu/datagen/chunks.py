@@ -28,6 +28,57 @@ def _load_scene(prefix: str):
     return data, known
 
 
+def chunk_visible_frames(
+    w2g_chunk: np.ndarray,
+    chunk_dims_zyx: Tuple[int, int, int],
+    cam2world: np.ndarray,  # (F, 4, 4)
+    intrinsics: np.ndarray,  # [fx, fy, mx, my]
+    image_dims: Tuple[int, int] = (320, 256),  # (w, h)
+    depth_range: Tuple[float, float] = (0.1, 6.0),
+    min_frames: int = 30,
+) -> np.ndarray:
+    """Frame ids viewing a chunk, nearest first (reference frame selection:
+    trajectory frames whose frustum sees the room OBB plus the 30 closest as
+    fallback, datagen/src/Scene.h:51-96 via Visualizer.h:25-34).
+
+    A frame "sees" the chunk when any of the chunk AABB's 8 world-space
+    corners or its center projects inside the image within depth_range, or
+    the camera sits inside the AABB."""
+    cz, cy, cx = chunk_dims_zyx
+    g2w = np.linalg.inv(w2g_chunk)
+    corners_g = np.array(
+        [[x, y, z, 1.0] for z in (0, cz) for y in (0, cy) for x in (0, cx)]
+        + [[cx / 2, cy / 2, cz / 2, 1.0]],
+        np.float32,
+    )
+    pts_w = corners_g @ g2w.T  # (9, 4) world, xyz order
+    fx, fy, mx, my = (float(v) for v in intrinsics[:4])
+    w, h = image_dims
+    F = cam2world.shape[0]
+    vis = np.zeros(F, bool)
+    cam_pos = cam2world[:, :3, 3]
+    lo_w = pts_w[:8, :3].min(0)
+    hi_w = pts_w[:8, :3].max(0)
+    inside = np.all((cam_pos >= lo_w) & (cam_pos <= hi_w), axis=1)
+    for fi in range(F):
+        w2c = np.linalg.inv(cam2world[fi])
+        p = pts_w[:, :3] @ w2c[:3, :3].T + w2c[:3, 3]
+        z = p[:, 2]
+        ok = (z > depth_range[0]) & (z < depth_range[1])
+        u = fx * p[:, 0] / np.maximum(z, 1e-9) + mx
+        v = fy * p[:, 1] / np.maximum(z, 1e-9) + my
+        ok &= (u >= 0) & (v >= 0) & (u < w) & (v < h)
+        vis[fi] = inside[fi] or bool(ok.any())
+    center_w = pts_w[8, :3]
+    dist = np.linalg.norm(cam_pos - center_w, axis=1)
+    order = np.argsort(dist, kind="stable")
+    chosen = [int(f) for f in order if vis[f]]
+    if len(chosen) < min_frames:  # closest-frames fallback (Scene.h:84-96)
+        extra = [int(f) for f in order if not vis[f]]
+        chosen = chosen + extra[: min_frames - len(chosen)]
+    return np.asarray(chosen, np.int32)
+
+
 def cut_scene_to_chunks(
     inc_prefix: str,
     cmp_prefix: str,
@@ -37,13 +88,27 @@ def cut_scene_to_chunks(
     stride: Optional[Tuple[int, int]] = None,  # (y, x); default = chunk size
     min_surface_voxels: int = 500,
     trunc_store: float = 6.0,
+    frame_info_dir: Optional[str] = None,
+    image_dims: Tuple[int, int] = (320, 256),
 ) -> List[str]:
     """Write ``<name>__inc__<k>.sdf`` / ``__cmp__<k>.sdf`` chunk files (inline
     known + colors) for every sufficiently-occupied window. Returns the list
-    of incomplete chunk paths."""
+    of incomplete chunk paths.
+
+    When the scan left a ``<cmp_prefix>.traj.npz`` trajectory sidecar (see
+    scan.save_trajectory), a ``<name>__cmp__<k>.txt`` frame-association list
+    is written per chunk into ``frame_info_dir`` (default: output_dir) in the
+    loader's format (one frame id per line, reference data_util.py:764-771),
+    closing the datagen -> 2D-loss-training loop."""
     os.makedirs(output_dir, exist_ok=True)
     inc, _ = _load_scene(inc_prefix)
     cmp_, known = _load_scene(cmp_prefix)
+    traj = None
+    if os.path.isfile(cmp_prefix + ".traj.npz"):
+        traj = np.load(cmp_prefix + ".traj.npz")
+        if frame_info_dir is None:
+            frame_info_dir = output_dir
+        os.makedirs(frame_info_dir, exist_ok=True)
     dims = cmp_.dims
     cz, cy, cx = chunk_dims
     sy, sx = stride if stride is not None else (cy, cx)
@@ -99,6 +164,17 @@ def cut_scene_to_chunks(
 
             p_inc = save("inc", win_inc, win_icol)
             save("cmp", win_cmp, win_ccol)
+            if traj is not None:
+                ids = chunk_visible_frames(
+                    w2g, chunk_dims, traj["cam2world"], traj["intrinsics"],
+                    image_dims=image_dims,
+                    depth_range=(0.1, 6.0),
+                )
+                ids = traj["frame_ids"][ids]
+                with open(
+                    os.path.join(frame_info_dir, f"{name}__cmp__{k}.txt"), "w"
+                ) as f:
+                    f.write("\n".join(str(int(i)) for i in ids) + "\n")
             out_files.append(p_inc)
             k += 1
     return out_files

@@ -13,6 +13,7 @@ save ``__cmp__``."""
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -82,6 +83,52 @@ def render_depth_from_points(
     return depth, out_color
 
 
+def export_frame(
+    frame_dir: str,
+    frame_id: int,
+    depth_m: np.ndarray,  # (H, W) meters, 0 = hole
+    color: Optional[np.ndarray],  # (H, W, 3) uint8
+    cam2world: np.ndarray,
+    intrinsics: np.ndarray,  # [fx, fy, mx, my]
+):
+    """Write one RGB-D frame in the layout the 2D-loss loader consumes
+    (reference frame files, data_util.py:764-787, 837-859):
+    ``depth/<id>.png`` (u16 millimeters), ``color/<id>.jpg``,
+    ``camera/<id>.txt`` (4x4 cam->world pose rows then 4x4 intrinsic rows)."""
+    from PIL import Image
+
+    for sub in ("depth", "color", "camera"):
+        os.makedirs(os.path.join(frame_dir, sub), exist_ok=True)
+    d_mm = np.clip(np.nan_to_num(depth_m) * 1000.0, 0, 65535).astype(np.uint16)
+    Image.fromarray(d_mm).save(os.path.join(frame_dir, "depth", f"{frame_id}.png"))
+    if color is None:
+        color = np.zeros(depth_m.shape + (3,), np.uint8)
+    Image.fromarray(color.astype(np.uint8)).save(
+        os.path.join(frame_dir, "color", f"{frame_id}.jpg"), quality=95
+    )
+    fx, fy, mx, my = (float(v) for v in intrinsics[:4])
+    K = np.array(
+        [[fx, 0, mx, 0], [0, fy, my, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float32
+    )
+    with open(os.path.join(frame_dir, "camera", f"{frame_id}.txt"), "w") as f:
+        for row in np.asarray(cam2world, np.float32)[:4]:
+            f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+        for row in K:
+            f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+
+
+def save_trajectory(path: str, trajectory: Sequence[np.ndarray], intrinsics, frame_ids):
+    """Sidecar trajectory record consumed by the chunker to compute per-chunk
+    frame associations (the reference datagen keeps the trajectory in memory,
+    Scene.h:51-96; a sidecar keeps the scan and chunk CLIs composable)."""
+    np.savez(
+        path,
+        cam2world=np.stack([np.asarray(t, np.float32) for t in trajectory]),
+        intrinsics=np.asarray(intrinsics, np.float32),
+        frame_ids=np.asarray(frame_ids, np.int32),
+    )
+
+
 def virtual_scan(
     verts: np.ndarray,
     faces: np.ndarray,
@@ -92,10 +139,14 @@ def virtual_scan(
     fusion_cfg: fusion.FusionConfig = fusion.FusionConfig(),
     scan_cfg: ScanConfig = ScanConfig(),
     seed: int = 0,
+    frame_export_dir: Optional[str] = None,
 ) -> Tuple[tuple, np.ndarray]:
     """Scan one room mesh along a camera trajectory, writing incomplete and
-    complete .sdf/.colors/.knw (Fuser::fuse, Fuser.cpp:21-186). Returns
-    (dims_zyx, world2grid)."""
+    complete .sdf/.colors/.knw (Fuser::fuse, Fuser.cpp:21-186). With
+    ``frame_export_dir``, every rendered frame is also written in the
+    training frame layout (depth/color/camera, see export_frame) using its
+    trajectory index as the frame id, plus a ``<cmp>.traj.npz`` sidecar for
+    the chunker's frame association. Returns (dims_zyx, world2grid)."""
     rng = np.random.default_rng(seed)
     # surface samples for splatting
     v0 = verts[faces[:, 0]]
@@ -136,14 +187,16 @@ def virtual_scan(
     keep = rng.random(len(trajectory)) >= scan_cfg.chance_drop_frames
     if not keep.any():
         keep[rng.integers(len(trajectory))] = True
-    inc_frames = [t for t, k in zip(trajectory, keep) if k]
-    rest_frames = [t for t, k in zip(trajectory, keep) if not k]
+    inc_frames = [(fi, t) for fi, (t, k) in enumerate(zip(trajectory, keep)) if k]
+    rest_frames = [(fi, t) for fi, (t, k) in enumerate(zip(trajectory, keep)) if not k]
 
     def frame_iter(cams):
-        for fi, cam in enumerate(cams):
+        for fi, cam in cams:
             depth, color = render_depth_from_points(
                 points, colors, cam, scan_cfg, normals=normals, frame_id=fi
             )
+            if frame_export_dir is not None:
+                export_frame(frame_export_dir, fi, depth, color, cam, intr)
             yield depth, color.astype(np.float32) if color is not None else None, intr, cam
 
     grid = fusion.make_grid(dims_zyx)
@@ -158,6 +211,11 @@ def virtual_scan(
         grid = fusion.integrate(grid, jnp.asarray(d), jnp.asarray(c) if c is not None else None,
                                 jnp.asarray(i), jnp.asarray(cam, jnp.float32), w2g, fusion_cfg)
     fusion.save_grid(output_prefix_cmp, grid, world2grid, fusion_cfg)
+    if frame_export_dir is not None:
+        save_trajectory(
+            output_prefix_cmp + ".traj.npz", list(trajectory), intr,
+            np.arange(len(trajectory)),
+        )
     return dims_zyx, world2grid
 
 

@@ -124,3 +124,73 @@ def test_datagen_cli_end_to_end(tmp_path):
     dg.main(["category", "--output_dir", str(tmp_path)])
     assert os.path.isfile(str(tmp_path / "category.npz"))
     assert os.path.isfile(str(tmp_path / "Category_list.png"))
+
+
+def test_datagen_frames_to_2d_training(tmp_path):
+    """Closes the datagen -> 2D-loss loop (VERDICT r1 item 4): scan with
+    frame export -> chunk with frame association -> train with use_2d=True
+    consuming the exported frames (reference frame pipeline
+    data_util.py:764-787,862-902 + datagen frame selection Scene.h:51-96)."""
+    import numpy as np
+
+    from spsg_tpu.cli import datagen as dg
+    from spsg_tpu.cli import train as train_cli
+    from spsg_tpu.ops import mesh as mesh_ops
+
+    # a colored open box (floor + 2 walls) so frames see actual geometry
+    verts = np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0],
+         [-1, -1, 1], [1, -1, 1], [-1, 1, 1]], np.float32)
+    faces = np.array(
+        [[0, 1, 2], [0, 2, 3], [0, 1, 5], [0, 5, 4], [0, 3, 6], [0, 6, 4]],
+        np.int64)
+    colors = np.stack([np.full(7, 200), np.full(7, 90), np.full(7, 40)], 1).astype(np.uint8)
+    mesh_path = str(tmp_path / "boxroom.ply")
+    mesh_ops.save_ply(mesh_path, verts, faces, colors)
+
+    scans = str(tmp_path / "scans")
+    frames = str(tmp_path / "frames")
+    dg.main(["scan", "--mesh", mesh_path, "--output_dir", scans,
+             "--voxelsize", "0.08", "--num_frames", "8",
+             "--chance_drop_frames", "0.5",
+             "--export_frames", "--frame_path", frames])
+    scene_dir = os.path.join(frames, "boxroom")
+    assert os.path.isfile(os.path.join(scene_dir, "depth", "0.png"))
+    assert os.path.isfile(os.path.join(scene_dir, "color", "0.jpg"))
+    assert os.path.isfile(os.path.join(scene_dir, "camera", "0.txt"))
+    assert os.path.isfile(os.path.join(scans, "boxroom__cmp__0.traj.npz"))
+
+    chunks_dir = str(tmp_path / "chunks")
+    dg.main(["chunk", "--inc", os.path.join(scans, "boxroom__inc__0"),
+             "--cmp", os.path.join(scans, "boxroom__cmp__0"),
+             "--output_dir", chunks_dir, "--name", "boxroom",
+             "--chunk_dims", "16", "16", "16", "--min_surface_voxels", "20"])
+    assoc = [f for f in os.listdir(chunks_dir) if f.endswith(".txt") and "__cmp__" in f]
+    assert assoc, "no frame-association files written"
+    ids = [int(l) for l in open(os.path.join(chunks_dir, assoc[0])).read().splitlines()]
+    assert ids and all(0 <= i < 8 for i in ids)
+
+    inc_chunks = sorted(f for f in os.listdir(chunks_dir) if "__inc__" in f)
+    flist = str(tmp_path / "train.txt")
+    with open(flist, "w") as f:
+        f.write("\n".join(inc_chunks) + "\n")
+
+    save = str(tmp_path / "run")
+    train_cli.main([
+        "--data_path", chunks_dir, "--train_file_list", flist,
+        "--val_file_list", flist, "--save", save,
+        "--input_dim", "16", "--nf_gen", "4", "--batch_size", "2",
+        "--max_epoch", "1", "--num_iters_geo_only", "0",
+        "--weight_depth_loss", "1", "--weight_disc_loss", "0.5",
+        "--weight_semantic_loss", "0",
+        "--frame_info_path", chunks_dir, "--frame_path", frames,
+        "--style_width", "48", "--style_height", "32",
+        "--max_depth_fill_iters", "4", "--lr", "1e-3",
+    ])
+    log = open(os.path.join(save, "log_val.csv")).read()
+    assert "depth" in log.splitlines()[0]
+    # the 2D losses actually ran: depth-loss column is not the -1 sentinel
+    import csv
+    rows = list(csv.DictReader(open(os.path.join(save, "log_val.csv"))))
+    assert float(rows[-1]["train_loss(depth)"]) != -1.0
+    assert float(rows[-1]["train_loss(disc)"]) != -1.0
