@@ -525,13 +525,19 @@ def batch_iterator(
     drop_remainder: bool = True,
     num_prefetch: int = 4,
     num_workers: int = 4,
+    indices=None,
 ):
     """Thread-prefetched batch iterator replacing torch DataLoader
     (reference train.py:196-211). Drops undersized trailing batches like the
-    reference's skip at train.py:425-427."""
-    order = np.arange(len(dataset))
-    if shuffle:
-        np.random.default_rng(seed).shuffle(order)
+    reference's skip at train.py:425-427. ``indices`` overrides the sample
+    order (multi-host: each process passes its slice from
+    parallel.multihost.local_indices and its per-host batch size)."""
+    if indices is not None:
+        order = np.asarray(indices)
+    else:
+        order = np.arange(len(dataset))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
     batches = [
         order[i : i + batch_size]
         for i in range(0, len(order) - (batch_size - 1 if drop_remainder else 0), batch_size)

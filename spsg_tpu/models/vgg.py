@@ -76,25 +76,65 @@ def convert_torchvision_weights(state_dict) -> dict:
     return params
 
 
-def load_vgg_for_style(style_layers=(8,)) -> Tuple[VGGFeatures, dict]:
-    """Build the extractor, preferring converted torchvision weights."""
-    model = VGGFeatures(style_layers=style_layers)
-    params = None
-    try:
-        import torch
+def _npz_to_params(path: str) -> dict:
+    data = np.load(path)
+    return {
+        f"conv_{i + 1}": {
+            "kernel": jnp.asarray(data[f"conv_{i + 1}.kernel"]),
+            "bias": jnp.asarray(data[f"conv_{i + 1}.bias"]),
+        }
+        for i in range(len(_VGG19_PREFIX))
+    }
 
-        hub = os.path.expanduser(
-            os.environ.get("TORCH_HOME", "~/.cache/torch")
-        )
-        ckpt = os.path.join(hub, "hub", "checkpoints", "vgg19-dcbb9e9d.pth")
-        if os.path.isfile(ckpt):
-            sd = torch.load(ckpt, map_location="cpu")
-            params = convert_torchvision_weights(sd)
-            print("vgg: loaded pretrained torchvision weights")
-    except Exception as e:  # pragma: no cover
-        print(f"vgg: weight conversion failed ({e}); using random features")
+
+def load_vgg_for_style(style_layers=(8,)) -> Tuple[VGGFeatures, dict]:
+    """Build the extractor. Weight search order:
+      1. $SPSG_VGG_WEIGHTS — a converted .npz (tools/convert_vgg19.py) or a
+         torchvision vgg19 .pth;
+      2. the packaged artifact spsg_tpu/models/vgg19_conv8.npz;
+      3. the torch hub cache (~/.cache/torch/hub/checkpoints/vgg19-*.pth);
+      4. fixed-seed random features, with a LOUD warning — style/content and
+         Feature-l1 then remain well-defined self-consistent metrics but are
+         NOT ImageNet-perceptual and not comparable to reference numbers
+         (reference loads pretrained torchvision vgg19, style.py:108-129)."""
+    model = VGGFeatures(style_layers=style_layers)
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [
+        os.environ.get("SPSG_VGG_WEIGHTS", ""),
+        os.path.join(here, "vgg19_conv8.npz"),
+        os.path.join(
+            os.path.expanduser(os.environ.get("TORCH_HOME", "~/.cache/torch")),
+            "hub", "checkpoints", "vgg19-dcbb9e9d.pth",
+        ),
+    ]
+    params = None
+    for path in candidates:
+        if not path or not os.path.isfile(path):
+            continue
+        try:
+            if path.endswith(".npz"):
+                params = _npz_to_params(path)
+            else:
+                import torch
+
+                sd = torch.load(path, map_location="cpu")
+                sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+                params = convert_torchvision_weights(sd)
+            print(f"vgg: loaded pretrained weights from {path}")
+            break
+        except Exception as e:  # pragma: no cover
+            print(f"vgg: failed to load {path} ({e})")
     if params is None:
+        import warnings
+
         dummy = jnp.zeros((1, 64, 64, 3))
         params = model.init(jax.random.PRNGKey(42), dummy)["params"]
-        print("vgg: using fixed-seed random features (no pretrained weights found)")
+        warnings.warn(
+            "spsg-tpu: no pretrained VGG19 weights found — style/content "
+            "losses and Feature-l1 use FIXED-SEED RANDOM features and are "
+            "not comparable to reference numbers. Convert torchvision's "
+            "vgg19 once with tools/convert_vgg19.py (see its docstring) "
+            "or point SPSG_VGG_WEIGHTS at a vgg19 .pth/.npz.",
+            stacklevel=2,
+        )
     return model, params

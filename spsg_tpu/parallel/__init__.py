@@ -1,1 +1,2 @@
 from .mesh import make_mesh, shard_batch, replicate_state
+from . import multihost

@@ -87,8 +87,21 @@ def run_training(
     vgg=None,
     vis_at_epoch_end: bool = True,
 ):
-    """Train to max_epoch. Returns (gen_state, disc_state)."""
+    """Train to max_epoch. Returns (gen_state, disc_state).
+
+    Multi-host: when this process is part of a jax.distributed job
+    (process_count > 1, see parallel.multihost.initialize), each host feeds
+    its interleaved slice of the global batch, the jitted step runs the same
+    GSPMD program on every host, and only process 0 writes checkpoints, logs,
+    and visual dumps."""
     from ..data.pipeline import batch_iterator
+    from ..parallel import multihost
+
+    n_proc = jax.process_count()
+    primary = jax.process_index() == 0
+    if n_proc > 1:
+        assert cfg.batch_size % n_proc == 0, (cfg.batch_size, n_proc)
+    local_bs = cfg.batch_size // n_proc
 
     os.makedirs(save_dir, exist_ok=True)
     mesh = make_mesh()
@@ -105,7 +118,7 @@ def run_training(
     if disc_state is not None:
         disc_state = replicate_state(disc_state, mesh)
 
-    log = TrainLog(save_dir, has_val=val_dataset is not None)
+    log = TrainLog(save_dir, has_val=val_dataset is not None) if primary else None
     acc = MetricsAccumulator()
     timer = PhaseTimer(report_every=100)
 
@@ -134,16 +147,38 @@ def run_training(
     last_batch = None
     last_flags = None
     for epoch in range(epoch0, max_epoch):
-        for batch in batch_iterator(
-            train_dataset, cfg.batch_size, shuffle=True, seed=seed + epoch
-        ):
+        if n_proc > 1:
+            it_batches = batch_iterator(
+                train_dataset, local_bs, shuffle=False,
+                indices=multihost.local_indices(
+                    len(train_dataset), cfg.batch_size, seed=seed, epoch=epoch
+                ),
+            )
+        else:
+            it_batches = batch_iterator(
+                train_dataset, cfg.batch_size, shuffle=True, seed=seed + epoch
+            )
+        for batch in it_batches:
             with timer.phase("setup"):
                 have_frames = _has_frames(batch)
+                if n_proc > 1:
+                    # the skip decision must agree across hosts or the GSPMD
+                    # program deadlocks — take the conjunction
+                    from jax.experimental import multihost_utils
+
+                    have_frames = bool(
+                        multihost_utils.process_allgather(
+                            np.asarray(have_frames)
+                        ).all()
+                    )
                 flags = StepFlags.for_iter(it, cfg, have_frames=have_frames)
                 if flags.use_2d and not have_frames:
                     continue  # reference skip (train.py:428-432)
                 batch = _prepare_batch(batch, cfg, it)
-                batch = shard_batch(batch, mesh)
+                if n_proc > 1:
+                    batch = multihost.make_global_batch(batch, mesh)
+                else:
+                    batch = shard_batch(batch, mesh)
                 rng, krng = jax.random.split(rng)
             with timer.phase("step"):
                 gen_state, disc_state, metrics = trainer.step(
@@ -154,9 +189,9 @@ def run_training(
             it += 1
             with timer.phase("log"):
                 acc.add(jax.device_get(metrics))
-                if it % log_every == 0:
+                if it % log_every == 0 and log is not None:
                     log.log_train(epoch, it, acc.means(), time.time() - start)
-                if ckpt_every_iters and it % ckpt_every_iters == 0:
+                if ckpt_every_iters and it % ckpt_every_iters == 0 and primary:
                     state_lib.save_checkpoint(
                         os.path.join(save_dir, f"model-iter{it}-epoch{epoch}"),
                         jax.device_get(gen_state),
@@ -165,21 +200,25 @@ def run_training(
                     )
             timer.step()
             if stop_requested["flag"]:
-                state_lib.save_checkpoint(
-                    os.path.join(save_dir, f"model-preempt-iter{it}"),
-                    jax.device_get(gen_state),
-                    jax.device_get(disc_state) if disc_state is not None else None,
-                    epoch,
-                )
-                print(f"preemption checkpoint written at iter {it}; exiting")
-                log.close()
+                if primary:
+                    state_lib.save_checkpoint(
+                        os.path.join(save_dir, f"model-preempt-iter{it}"),
+                        jax.device_get(gen_state),
+                        jax.device_get(disc_state) if disc_state is not None else None,
+                        epoch,
+                    )
+                    print(f"preemption checkpoint written at iter {it}; exiting")
+                if log is not None:
+                    log.close()
                 for sig, h in prev_handlers.items():
                     signal.signal(sig, h)
                 return gen_state, disc_state
 
         # end of epoch: visual dumps (reference dumps meshes/PNGs of the last
         # train batch, train.py:771, 789-849)
-        if vis_at_epoch_end and last_batch is not None:
+        # (multi-host: skipped — the dump forwards the last *global* batch,
+        # which would be a collective program only the primary joins)
+        if vis_at_epoch_end and last_batch is not None and primary and n_proc == 1:
             try:
                 _dump_visuals(
                     trainer, cfg, gen_state, last_batch, it, epoch, save_dir, last_flags
@@ -190,28 +229,48 @@ def run_training(
         # end of epoch: validation + checkpoint (train.py:1294-1320)
         if val_dataset is not None:
             val_acc = MetricsAccumulator()
-            for batch in batch_iterator(
-                val_dataset, cfg.batch_size, shuffle=False, seed=0
-            ):
+            if n_proc > 1:
+                val_batches = batch_iterator(
+                    val_dataset, local_bs, shuffle=False,
+                    indices=multihost.local_indices(
+                        len(val_dataset), cfg.batch_size, seed=0, epoch=0
+                    ),
+                )
+            else:
+                val_batches = batch_iterator(
+                    val_dataset, cfg.batch_size, shuffle=False, seed=0
+                )
+            for batch in val_batches:
                 have_frames = _has_frames(batch)
+                if n_proc > 1:
+                    from jax.experimental import multihost_utils
+
+                    have_frames = bool(
+                        multihost_utils.process_allgather(np.asarray(have_frames)).all()
+                    )
                 flags = StepFlags.for_iter(it, cfg, have_frames=have_frames, train=False)
                 if flags.use_2d and not have_frames:
                     continue
                 batch = _prepare_batch(batch, cfg, it)
-                batch = shard_batch(batch, mesh)
+                if n_proc > 1:
+                    batch = multihost.make_global_batch(batch, mesh)
+                else:
+                    batch = shard_batch(batch, mesh)
                 rng, krng = jax.random.split(rng)
                 _, _, metrics = trainer.step(gen_state, disc_state, batch, krng, flags)
                 val_acc.add(jax.device_get(metrics))
-            log.log_val(epoch, it, acc.means(), val_acc.means(), time.time() - start)
+            if log is not None:
+                log.log_val(epoch, it, acc.means(), val_acc.means(), time.time() - start)
         acc.reset()
-        if (epoch + 1) % cfg.save_epoch == 0 or epoch + 1 == max_epoch:
+        if ((epoch + 1) % cfg.save_epoch == 0 or epoch + 1 == max_epoch) and primary:
             state_lib.save_checkpoint(
                 os.path.join(save_dir, f"model-epoch{epoch}"),
                 jax.device_get(gen_state),
                 jax.device_get(disc_state) if disc_state is not None else None,
                 epoch + 1,
             )
-    log.close()
+    if log is not None:
+        log.close()
     for sig, h in prev_handlers.items():
         signal.signal(sig, h)
     return gen_state, disc_state
