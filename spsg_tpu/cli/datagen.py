@@ -89,14 +89,32 @@ def cmd_chunk(args):
 def cmd_semantics(args):
     from ..datagen import semantics
 
-    verts, faces, cats = semantics.read_labeled_ply(args.region_ply)
-    pts, raw = semantics.sample_labeled_mesh(
-        verts, faces, cats, samples_per_face=args.samples_per_face
-    )
-    if args.mapping:
-        labels = semantics.labels_from_category_mapping(raw, args.mapping, args.mapping_column)
+    if args.vsegs:
+        # raw Matterport annotations: mesh + .vsegs.json + .semseg.json
+        # (reference Aggregation.h/Segmentation.h ingestion path)
+        from ..ops import mesh as mesh_ops
+
+        if not (args.semseg and args.mesh and args.mapping):
+            raise SystemExit("--vsegs needs --semseg, --mesh and --mapping")
+        verts, _, faces = mesh_ops.load_ply(args.mesh)
+        vlabels = semantics.vertex_labels_from_segmentation(
+            args.vsegs, args.semseg, args.mapping, id_column=args.mapping_column
+        )
+        cats = semantics.face_labels_from_vertex_labels(faces, vlabels)
+        pts, labels = semantics.sample_labeled_mesh(
+            verts, faces, cats, samples_per_face=args.samples_per_face
+        )
     else:
-        labels = raw
+        if not args.region_ply:
+            raise SystemExit("pass --region_ply, or --vsegs/--semseg/--mesh")
+        verts, faces, cats = semantics.read_labeled_ply(args.region_ply)
+        pts, raw = semantics.sample_labeled_mesh(
+            verts, faces, cats, samples_per_face=args.samples_per_face
+        )
+        if args.mapping:
+            labels = semantics.labels_from_category_mapping(raw, args.mapping, args.mapping_column)
+        else:
+            labels = raw
     n = 0
     for sdf_file in sorted(glob.glob(args.sdf_glob)):
         if args.scene_semantics:
@@ -177,7 +195,10 @@ def main(argv=None):
     pc.set_defaults(fn=cmd_chunk)
 
     pm = sub.add_parser("semantics")
-    pm.add_argument("--region_ply", required=True, help="labeled region segmentation ply")
+    pm.add_argument("--region_ply", default="", help="labeled region segmentation ply")
+    pm.add_argument("--vsegs", default="", help="raw Matterport .vsegs.json (with --semseg/--mesh)")
+    pm.add_argument("--semseg", default="", help="raw Matterport .semseg.json")
+    pm.add_argument("--mesh", default="", help="mesh .ply matching --vsegs vertex order")
     pm.add_argument("--sdf_glob", required=True, help="glob of __cmp__ .sdf files to extend")
     pm.add_argument("--mapping", default="", help="category_mapping.tsv (raw ids -> eigen13)")
     pm.add_argument("--mapping_column", default="eigen13id")

@@ -189,3 +189,80 @@ def labels_from_category_mapping(
     lut[table["index"].to_numpy()] = table[column].fillna(UNLABELED).to_numpy().astype(np.int64)
     raw = np.clip(raw_categories.astype(np.int64), 0, len(lut) - 1)
     return lut[raw]
+
+
+# ---------------------------------------------------------------------------
+# raw Matterport3D semantics ingestion (.semseg.json + .vsegs.json)
+# ---------------------------------------------------------------------------
+
+
+def read_vsegs_json(path: str) -> np.ndarray:
+    """Per-vertex segment ids from a Matterport ``.vsegs.json``
+    (reference datagen/src/Segmentation.h:60-86: the ``segIndices`` array,
+    one entry per mesh vertex)."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    return np.asarray(data["segIndices"], np.int64)
+
+
+def read_semseg_json(path: str):
+    """Segment-id -> raw label-string map from a Matterport ``.semseg.json``
+    (reference datagen/src/Aggregation.h:47-80: ``segGroups`` entries carry a
+    ``label`` and the ``segments`` ids belonging to that object)."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    seg_to_label = {}
+    for group in data["segGroups"]:
+        label = group.get("label", "")
+        for seg in group.get("segments", []):
+            seg_to_label[int(seg)] = label
+    return seg_to_label
+
+
+def label_ids_from_names(names, mapping_tsv: str, name_column: str = "raw_category",
+                         id_column: str = "eigen13id") -> np.ndarray:
+    """Label strings -> class ids via category_mapping.tsv (reference
+    datagen/src/LabelUtil.h:3-89 maps labelName -> idName columns)."""
+    import pandas as pd
+
+    table = pd.read_csv(mapping_tsv, sep="\t")
+    lut = {
+        str(n): (UNLABELED if pd.isna(i) else int(i))
+        for n, i in zip(table[name_column], table[id_column])
+    }
+    return np.asarray([lut.get(str(n), UNLABELED) for n in names], np.int64)
+
+
+def vertex_labels_from_segmentation(
+    vsegs_path: str, semseg_path: str, mapping_tsv: str,
+    name_column: str = "raw_category", id_column: str = "eigen13id",
+) -> np.ndarray:
+    """Per-vertex class ids from the raw Matterport annotation pair
+    (the pipeline Scene::computeObjectIdsAndColorsPerVertex implements in
+    C++, datagen/src/Scene.cpp:127-166): vertex -> segment (.vsegs.json) ->
+    object label (.semseg.json) -> class id (category_mapping.tsv)."""
+    vsegs = read_vsegs_json(vsegs_path)
+    seg_to_label = read_semseg_json(semseg_path)
+    seg_ids = np.asarray(sorted(set(seg_to_label)), np.int64)
+    seg_names = [seg_to_label[int(s)] for s in seg_ids]
+    seg_label_ids = label_ids_from_names(seg_names, mapping_tsv, name_column, id_column)
+    lut_size = int(max(vsegs.max(initial=0), seg_ids.max(initial=0))) + 2
+    lut = np.full(lut_size, UNLABELED, np.int64)
+    lut[seg_ids] = seg_label_ids
+    return lut[np.clip(vsegs, 0, lut_size - 1)]
+
+
+def face_labels_from_vertex_labels(faces: np.ndarray, vertex_labels: np.ndarray) -> np.ndarray:
+    """Majority vote of the 3 corner labels per face (ties -> first corner),
+    feeding the existing per-face sampling path (sample_labeled_mesh)."""
+    a = vertex_labels[faces[:, 0]]
+    b = vertex_labels[faces[:, 1]]
+    c = vertex_labels[faces[:, 2]]
+    out = a.copy()
+    bc = (b == c) & (a != b)
+    out[bc] = b[bc]
+    return out

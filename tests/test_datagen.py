@@ -3,6 +3,8 @@ encoding, end-to-end virtual scan producing loadable training files, and
 semantic splatting (reference datagen has only a save/reload self-check,
 Fuser.cpp:106-126)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -235,3 +237,68 @@ s_scenePadding = 6; 		//on each side
     fc, sc = P.scan_configs_from_params(d)
     assert fc.voxelsize == 0.05 and fc.scene_pad == 6
     assert sc.width == 160 and sc.chance_drop_frames == 0.7
+
+
+def test_matterport_semseg_vsegs_ingestion(tmp_path):
+    """Raw Matterport annotation pair -> per-vertex labels -> __sem__ chunk
+    (reference Aggregation.h:47-80 + Segmentation.h:60-86 + LabelUtil.h)."""
+    import json
+
+    import numpy as np
+
+    from spsg_tpu.cli import datagen as dg
+    from spsg_tpu.datagen import semantics
+    from spsg_tpu.ops import mesh as mesh_ops
+
+    # two-triangle mesh: left triangle is a "bed", right is a "wall"
+    verts = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    mesh_path = str(tmp_path / "scene.ply")
+    mesh_ops.save_ply(mesh_path, verts, faces, np.full((4, 3), 99, np.uint8))
+
+    vsegs = {"params": {"kThresh": "0.01"}, "segIndices": [7, 7, 12, 12]}
+    semseg = {
+        "sceneId": "scene", "appId": "test",
+        "segGroups": [
+            {"id": 0, "objectId": 0, "label": "bed", "segments": [7]},
+            {"id": 1, "objectId": 1, "label": "wall", "segments": [12]},
+        ],
+    }
+    (tmp_path / "scene.vsegs.json").write_text(json.dumps(vsegs))
+    (tmp_path / "scene.semseg.json").write_text(json.dumps(semseg))
+    mapping = tmp_path / "category_mapping.tsv"
+    mapping.write_text(
+        "index\traw_category\teigen13id\n1\tbed\t1\n2\twall\t12\n3\tdoor\t4\n"
+    )
+
+    vlabels = semantics.vertex_labels_from_segmentation(
+        str(tmp_path / "scene.vsegs.json"), str(tmp_path / "scene.semseg.json"),
+        str(mapping),
+    )
+    np.testing.assert_array_equal(vlabels, [1, 1, 12, 12])
+    flabels = semantics.face_labels_from_vertex_labels(faces, vlabels)
+    np.testing.assert_array_equal(flabels, [1, 12])
+
+    # full CLI path: scan the mesh, chunk it, extend with raw annotations
+    scans = str(tmp_path / "scans")
+    dg.main(["scan", "--mesh", mesh_path, "--output_dir", scans,
+             "--voxelsize", "0.08", "--num_frames", "6"])
+    chunks_dir = str(tmp_path / "chunks")
+    dg.main(["chunk", "--inc", os.path.join(scans, "scene__inc__0"),
+             "--cmp", os.path.join(scans, "scene__cmp__0"),
+             "--output_dir", chunks_dir, "--name", "scene",
+             "--chunk_dims", "16", "16", "16", "--min_surface_voxels", "20"])
+    dg.main(["semantics", "--vsegs", str(tmp_path / "scene.vsegs.json"),
+             "--semseg", str(tmp_path / "scene.semseg.json"),
+             "--mesh", mesh_path, "--mapping", str(mapping),
+             "--sdf_glob", os.path.join(chunks_dir, "*__cmp__*.sdf"),
+             "--samples_per_face", "400"])
+    sem_chunks = [f for f in os.listdir(chunks_dir) if "__sem__" in f]
+    assert sem_chunks
+    from spsg_tpu.data import formats
+
+    data = formats.load_sdf(
+        os.path.join(chunks_dir, sem_chunks[0]), load_semantic=True
+    )
+    present = set(np.unique(data.semantics))
+    assert 1 in present or 12 in present  # bed/wall labels landed in the grid
