@@ -51,9 +51,15 @@ def test_two_process_training(tmp_path):
             )
         )
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
     # both processes joined the same job over 4 global devices

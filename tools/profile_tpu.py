@@ -32,11 +32,105 @@ def timed(name, fn, fresh_args, n=10):
     return dt
 
 
+def bench_pipeline(args):
+    """Host input-pipeline throughput (batches/s and chunks/s): is the thread
+    pool fast enough to keep the device busy at the measured step speed? Uses
+    real chunk files when --data_path is given, otherwise writes a synthetic
+    chunk-file dataset to disk so the full decode path (sdf parse, LAB,
+    hue augmentation, collate) is exercised."""
+    import tempfile
+    import time
+
+    from spsg_tpu.data import pipeline as pl
+    from spsg_tpu.data import synthetic
+
+    if args.data_path and args.file_list:
+        files, _, _ = pl.get_train_files(args.data_path, args.file_list, "", 0)
+    else:
+        from spsg_tpu.data import formats
+
+        tmp = tempfile.mkdtemp(prefix="spsg_pipe_")
+        files = []
+        dims = (128, 64, 64)
+        for i in range(24):
+            b = synthetic.make_chunk_batch(
+                batch_size=1, dims=dims, image_dims=(320, 256), seed=i,
+                with_frames=False, truncation=3.0,
+            )
+            for tag, sdf_key, col_key in (
+                ("inc", "input", None), ("cmp", "target_sdf", "target_colors"),
+            ):
+                grid = np.asarray(b[sdf_key])[0]
+                if grid.ndim == 4:
+                    grid = grid[..., 0]
+                m = np.isfinite(grid) & (np.abs(grid) <= 6.0)
+                locs = np.argwhere(m).astype(np.int32)
+                colors = (
+                    np.asarray(b[col_key])[0].astype(np.uint8)
+                    if col_key
+                    else np.zeros(dims + (3,), np.uint8)
+                )
+                path = f"{tmp}/synth{i}__{tag}__0.sdf"
+                formats.save_sdf(
+                    path, dims, 0.02, np.eye(4, dtype=np.float32), locs,
+                    grid[m], known=np.zeros(dims, np.uint8), colors=colors,
+                )
+            files.append(f"{tmp}/synth{i}__inc__0.sdf")
+        if args.with_frames:
+            # full 2D-loss input path: one 320x256 depth PNG + color JPG +
+            # camera txt per chunk (the expensive PIL decodes)
+            from spsg_tpu.datagen import scan as scan_mod
+
+            fb = synthetic.make_chunk_batch(
+                batch_size=1, dims=dims, image_dims=(320, 256), seed=0,
+                with_frames=True, truncation=3.0,
+            )
+            depth = np.asarray(fb["images_depth"])[0] * 0.02  # voxels -> m
+            color = (np.asarray(fb["images_color"])[0].transpose(1, 2, 0) * 255).astype(np.uint8)
+            cam = np.eye(4, dtype=np.float32)
+            intr = np.asarray(fb["images_intrinsic"])[0]
+            for i in range(len(files)):
+                scan_mod.export_frame(f"{tmp}/synth{i}", i, depth, color, cam, intr)
+                with open(f"{tmp}/synth{i}__cmp__0.txt", "w") as f:
+                    f.write(f"{i}\n")
+    kw = {}
+    if args.with_frames and not args.data_path:
+        kw = dict(frame_info_path=tmp, frame_path=tmp, load_depth=True,
+                  image_dims=(320, 256))
+    ds = pl.ChunkDataset(files, load_semantic=False, **kw)
+    n_batches = 0
+    n_warm = 2
+    t0 = None
+    for batch in pl.batch_iterator(
+        ds, args.batch_size, shuffle=True, seed=0, num_workers=args.pipeline_workers
+    ):
+        n_batches += 1
+        if n_batches == n_warm:
+            t0 = time.perf_counter()
+    dt = time.perf_counter() - t0
+    timed_batches = n_batches - n_warm
+    print(
+        f"pipeline: {timed_batches / dt:.2f} batches/s = "
+        f"{timed_batches * args.batch_size / dt:.2f} chunks/s "
+        f"(B={args.batch_size}, workers={args.pipeline_workers}, "
+        f"{len(ds)} files)"
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--march", action="store_true", help="march sweep only")
+    p.add_argument("--pipeline", action="store_true", help="host input-pipeline throughput only")
+    p.add_argument("--with_frames", action="store_true",
+                   help="pipeline probe includes RGB-D frame decode (2D-loss path)")
+    p.add_argument("--pipeline_workers", type=int, default=4)
+    p.add_argument("--data_path", default="")
+    p.add_argument("--file_list", default="")
     p.add_argument("--batch_size", type=int, default=2)
     args = p.parse_args()
+
+    if args.pipeline:
+        return bench_pipeline(args)
 
     import jax
     import jax.numpy as jnp
