@@ -66,34 +66,31 @@ def bench_scene(args):
     print(json.dumps(result))
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--batch_size", type=int, default=2)  # reference default (train.py:49)
-    p.add_argument("--steps", type=int, default=10)
-    p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--mode", choices=["full", "geo", "scene"], default="full")
-    p.add_argument("--bf16", action="store_true", help="bfloat16 conv compute")
-    args = p.parse_args()
+def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
+    """One train-throughput measurement; returns the result dict."""
+    import jax
+    import jax.numpy as jnp
 
     from spsg_tpu.data import synthetic
     from spsg_tpu.training import StepFlags, TrainConfig
     from spsg_tpu.training.state import init_states
     from spsg_tpu.training.step import Trainer
 
-    if args.mode == "scene":
-        return bench_scene(args)
-
+    batch_size = args.batch_size if batch_size is None else batch_size
+    bf16 = args.bf16 if bf16 is None else bf16
+    remat = getattr(args, "remat", False) if remat is None else remat
     dims = (128, 64, 64)
     full = args.mode == "full"
     cfg = TrainConfig(
         input_dim=dims,
-        batch_size=args.batch_size,
+        batch_size=batch_size,
         weight_disc_loss=0.5 if full else 0.0,
         weight_depth_loss=1.0 if full else 0.0,
         max_depth_fill_iters=0,  # synthetic frames are hole-free
-        compute_dtype="bfloat16" if args.bf16 else None,
+        compute_dtype="bfloat16" if bf16 else None,
+        remat=remat,
     )
-    print(f"[bench] building synthetic batch (dims={dims}, B={args.batch_size})", file=sys.stderr)
+    print(f"[bench] building synthetic batch (dims={dims}, B={batch_size})", file=sys.stderr)
     batch = synthetic.make_chunk_batch(
         batch_size=cfg.batch_size,
         dims=dims,
@@ -133,7 +130,7 @@ def main():
     dt = time.perf_counter() - t0
 
     step_time = dt / args.steps
-    chunks_per_sec = args.batch_size / step_time
+    chunks_per_sec = batch_size / step_time
     n_chips = jax.device_count()
     result = {
         "metric": "train_chunks_per_sec_per_chip",
@@ -144,13 +141,66 @@ def main():
         "vs_baseline": None,
         "extra": {
             "step_time_s": round(step_time, 4),
-            "batch_size": args.batch_size,
+            "batch_size": batch_size,
+            "bf16": bool(bf16),
+            "remat": bool(remat),
             "mode": args.mode,
             "device": str(jax.devices()[0]),
             "loss": float(metrics["loss"]),
         },
     }
-    print(json.dumps(result))
+    if not quiet:
+        print(json.dumps(result))
+    return result
+
+
+def bench_sweep(args):
+    """Batch-scaling sweep (VERDICT r1 item 3): B x {f32, bf16} x remat; one
+    row per config on stderr, the single driver JSON line reports the best
+    chunks/s/chip. Run on the real TPU: python bench.py --sweep."""
+    rows = []
+    for bf16 in (False, True):
+        for batch in (2, 4, 8, 16):
+            for remat in ((False, True) if batch >= 8 else (False,)):
+                try:
+                    r = bench_train(args, batch_size=batch, bf16=bf16,
+                                    remat=remat, quiet=True)
+                except Exception as e:  # OOM at large batches is expected
+                    print(f"[sweep] B={batch} bf16={bf16} remat={remat}: "
+                          f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+                    continue
+                rows.append(r)
+                print(f"[sweep] B={batch} bf16={bf16} remat={remat}: "
+                      f"{r['value']} chunks/s/chip "
+                      f"({r['extra']['step_time_s']}s/step)", file=sys.stderr)
+    if not rows:
+        raise SystemExit("sweep: every configuration failed")
+    best = max(rows, key=lambda r: r["value"])
+    best["extra"]["sweep"] = [
+        {k: r["extra"][k] for k in ("batch_size", "bf16", "remat", "step_time_s")}
+        | {"chunks_per_sec_per_chip": r["value"]}
+        for r in rows
+    ]
+    print(json.dumps(best))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=2)  # reference default (train.py:49)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--mode", choices=["full", "geo", "scene"], default="full")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 conv compute")
+    p.add_argument("--remat", action="store_true", help="rematerialized generator")
+    p.add_argument("--sweep", action="store_true",
+                   help="batch-scaling sweep; reports the best config")
+    args = p.parse_args()
+
+    if args.mode == "scene":
+        return bench_scene(args)
+    if args.sweep:
+        return bench_sweep(args)
+    bench_train(args)
 
 
 if __name__ == "__main__":
