@@ -634,25 +634,48 @@ def raycast_occ(
 ) -> jax.Array:
     """Binary occupancy raycast: 1 if any occupied voxel lies along the pixel
     ray (reference raycast_occ_cuda_kernel :300-344; nearest-voxel lookup, no
-    interpolation). occ: (B, Z, Y, X) bool/uint8 -> (B, H, W) uint8."""
+    interpolation). occ: (B, Z, Y, X) bool/uint8 -> (B, H, W) uint8.
+
+    Same TPU structure as the main march: blocked lockstep evaluation
+    (``march_block`` samples per while iteration) with a conservative coarse
+    skip — nearest-voxel samples whose voxel block holds no occupied voxel
+    cannot hit, so their leading run is jumped with one packed window gather.
+    Since only "was any sample occupied" matters (no prev chain), the skip is
+    trivially exact."""
     B = occ.shape[0]
     dims = occ.shape[1:4]
     Z, Y, X = dims
-    flat_occ = (occ.reshape(B, -1) != 0)
+    P = cfg.width * cfg.height
+    occ_b = occ != 0
+    flat_occ = occ_b.reshape(B, -1)
 
     origin, direction, cam_z = _camera_rays(view, intrinsics, cfg.width, cfg.height)
     t_start = cfg.depth_min / cam_z
     t_end = cfg.depth_max / cam_z
-    lo_b, hi_b = _valid_bounds(occ != 0)
+    lo_b, hi_b = _valid_bounds(occ_b)
     t_enter, t_exit = _ray_aabb(origin, direction, lo_b, hi_b)
-    skip = jnp.maximum(jnp.floor((t_enter - t_start) / cfg.ray_increment), 0.0)
-    t0 = t_start + skip * cfg.ray_increment
+    skip0 = jnp.maximum(jnp.floor((t_enter - t_start) / cfg.ray_increment), 0.0)
+    t0 = t_start + skip0 * cfg.ray_increment
     t_stop = jnp.minimum(t_end, t_exit + cfg.ray_increment)
+    step = cfg.ray_increment
+
+    ox = origin[:, None, 0]
+    oy = origin[:, None, 1]
+    oz = origin[:, None, 2]
+    dx = direction[..., 0]
+    dy = direction[..., 1]
+    dz = direction[..., 2]
 
     def sample(t):
-        px = origin[:, None, 0] + t * direction[..., 0]
-        py = origin[:, None, 1] + t * direction[..., 1]
-        pz = origin[:, None, 2] + t * direction[..., 2]
+        # nearest voxel = floor(p + 0.5)
+        if t.ndim == 3:
+            px = ox[..., None] + t * dx[..., None]
+            py = oy[..., None] + t * dy[..., None]
+            pz = oz[..., None] + t * dz[..., None]
+        else:
+            px = ox + t * dx
+            py = oy + t * dy
+            pz = oz + t * dz
         ix = jnp.floor(px + 0.5).astype(jnp.int32)
         iy = jnp.floor(py + 0.5).astype(jnp.int32)
         iz = jnp.floor(pz + 0.5).astype(jnp.int32)
@@ -660,17 +683,91 @@ def raycast_occ(
         idx = _flat_index(
             jnp.clip(ix, 0, X - 1), jnp.clip(iy, 0, Y - 1), jnp.clip(iz, 0, Z - 1), dims
         )
-        return _gather(flat_occ, idx) & inb
+        got = jnp.take_along_axis(
+            flat_occ, idx.reshape(B, -1), axis=1, mode="clip"
+        ).reshape(idx.shape)
+        return got & inb
 
-    init = dict(k=jnp.zeros((), jnp.int32), hit=sample(t0))
+    F = cfg.march_block
+    n_iter_max = int(math.ceil((cfg.depth_max - cfg.depth_min) * cfg.max_dir_slack / (step * F))) + 1
+    offs = jnp.arange(F, dtype=jnp.float32)
+
+    use_skip = cfg.coarse_skip
+    if use_skip:
+        win = build_block_windows(occ_b, cfg.coarse_block)
+        nbz, nby, nbx = win.shape[1] - 2, win.shape[2] - 2, win.shape[3] - 2
+        win_flat = win.reshape(B, -1, 8)
+        blockf = jnp.float32(cfg.coarse_block)
+        jj = jnp.arange(SKIP_HORIZON, dtype=jnp.float32)
+
+        def hop(k, done):
+            t = t0 + k * step
+            dead = done | (t > t_stop)
+            tt = jnp.where(dead, t0, t)
+            # voxel = floor(p + 0.5): classify in shifted coords q = p + 0.5
+            qx = ox + tt * dx + 0.5
+            qy = oy + tt * dy + 0.5
+            qz = oz + tt * dz + 0.5
+            basex = jnp.where(dx > 0, jnp.floor(qx / blockf), jnp.floor(qx / blockf) - 1.0)
+            basey = jnp.where(dy > 0, jnp.floor(qy / blockf), jnp.floor(qy / blockf) - 1.0)
+            basez = jnp.where(dz > 0, jnp.floor(qz / blockf), jnp.floor(qz / blockf) - 1.0)
+            usable = (
+                ~dead
+                & (basex >= -1) & (basex <= nbx)
+                & (basey >= -1) & (basey <= nby)
+                & (basez >= -1) & (basez <= nbz)
+            )
+            six = jnp.clip(basex + 1, 0, nbx + 1).astype(jnp.int32)
+            siy = jnp.clip(basey + 1, 0, nby + 1).astype(jnp.int32)
+            siz = jnp.clip(basez + 1, 0, nbz + 1).astype(jnp.int32)
+            widx = (siz * (nby + 2) + siy) * (nbx + 2) + six
+            row = jnp.take_along_axis(
+                win_flat, widx.reshape(B, -1, 1), axis=1, mode="clip"
+            ).reshape(B, P, 8)
+            tj = tt[..., None] + jj * step
+            wx = jnp.floor((ox[..., None] + tj * dx[..., None] + 0.5) / blockf) - basex[..., None]
+            wy = jnp.floor((oy[..., None] + tj * dy[..., None] + 0.5) / blockf) - basey[..., None]
+            wz = jnp.floor((oz[..., None] + tj * dz[..., None] + 0.5) / blockf) - basez[..., None]
+            in_win = (
+                usable[..., None]
+                & (wx >= 0) & (wx <= 1)
+                & (wy >= 0) & (wy <= 1)
+                & (wz >= 0) & (wz <= 1)
+            )
+            g = lambda ch: row[..., ch][..., None]
+            fz0 = jnp.where(
+                wy > 0.5, jnp.where(wx > 0.5, g(3), g(2)), jnp.where(wx > 0.5, g(1), g(0))
+            )
+            fz1 = jnp.where(
+                wy > 0.5, jnp.where(wx > 0.5, g(7), g(6)), jnp.where(wx > 0.5, g(5), g(4))
+            )
+            flag = jnp.where(wz > 0.5, fz1, fz0)
+            empty = in_win & (flag < 0.5)
+            run = jnp.cumprod(empty.astype(jnp.int32), axis=-1)
+            return k + jnp.sum(run, axis=-1).astype(jnp.float32)
+
+    init = dict(it=jnp.zeros((), jnp.int32), k=jnp.zeros((B, P), jnp.float32),
+                hit=jnp.zeros((B, P), bool))
 
     def cond(c):
-        t = t0 + (c["k"] + 1).astype(jnp.float32) * cfg.ray_increment
-        return (c["k"] < cfg.max_steps) & jnp.any(~c["hit"] & (t <= t_stop))
+        alive = ~c["hit"] & (t0 + c["k"] * step <= t_stop)
+        return (c["it"] < n_iter_max) & jnp.any(alive)
 
     def body(c):
-        t = t0 + (c["k"] + 1).astype(jnp.float32) * cfg.ray_increment
-        return dict(k=c["k"] + 1, hit=c["hit"] | (sample(t) & (t <= t_stop)))
+        k = c["k"]
+        if use_skip:
+            for _ in range(cfg.coarse_hops):
+                k = hop(k, c["hit"])
+        treal = t0[..., None] + (k[..., None] + offs) * step
+        in_range = treal <= t_stop[..., None]
+        dead = c["hit"] | (t0 + k * step > t_stop)
+        t = jnp.where(dead[..., None], t0[..., None], treal)
+        got = sample(t) & in_range
+        return dict(
+            it=c["it"] + 1,
+            k=k + jnp.float32(F),
+            hit=c["hit"] | (jnp.any(got, axis=-1) & ~dead),
+        )
 
     c = jax.lax.while_loop(cond, body, init)
     return c["hit"].reshape(B, cfg.height, cfg.width).astype(jnp.uint8)

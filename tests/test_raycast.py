@@ -271,3 +271,26 @@ def test_raycast_occ():
     # center rays hit the slab; the slab covers the central part of the image
     assert out[6, 8] == 1
     assert out.sum() > 0
+
+
+def test_raycast_occ_skip_matches_plain():
+    """Blocked + coarse-skipped occupancy march == plain blocked march, and
+    both see the fragmented-blob scene correctly."""
+    import dataclasses
+
+    dims = (64, 64, 64)
+    sdf, valid = _blob_scene(dims, seed=3)
+    occ = (np.abs(sdf) < 1.5).astype(np.uint8)
+    base = _cfg(depth_max=200.0)
+    for cam in (_down_camera(dims, 60.0), _oblique_camera(dims)):
+        view, intr = cam
+        outs = {}
+        for name, skip in (("skip", True), ("plain", False)):
+            cfg = dataclasses.replace(base, coarse_skip=skip)
+            out = raycast.raycast_occ(
+                jnp.asarray(occ[None]), jnp.asarray(view[None]),
+                jnp.asarray(intr[None]), cfg,
+            )
+            outs[name] = np.asarray(out)[0]
+        assert outs["skip"].sum() > 10
+        np.testing.assert_array_equal(outs["skip"], outs["plain"])
