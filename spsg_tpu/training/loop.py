@@ -191,22 +191,23 @@ def run_training(
                 acc.add(jax.device_get(metrics))
                 if it % log_every == 0 and log is not None:
                     log.log_train(epoch, it, acc.means(), time.time() - start)
-                if ckpt_every_iters and it % ckpt_every_iters == 0 and primary:
+                if ckpt_every_iters and it % ckpt_every_iters == 0:
+                    # all hosts call: orbax saves are collective (state.py)
                     state_lib.save_checkpoint(
                         os.path.join(save_dir, f"model-iter{it}-epoch{epoch}"),
-                        jax.device_get(gen_state),
-                        jax.device_get(disc_state) if disc_state is not None else None,
+                        gen_state,
+                        disc_state,
                         epoch,
                     )
             timer.step()
             if stop_requested["flag"]:
+                state_lib.save_checkpoint(
+                    os.path.join(save_dir, f"model-preempt-iter{it}"),
+                    gen_state,
+                    disc_state,
+                    epoch,
+                )
                 if primary:
-                    state_lib.save_checkpoint(
-                        os.path.join(save_dir, f"model-preempt-iter{it}"),
-                        jax.device_get(gen_state),
-                        jax.device_get(disc_state) if disc_state is not None else None,
-                        epoch,
-                    )
                     print(f"preemption checkpoint written at iter {it}; exiting")
                 if log is not None:
                     log.close()
@@ -262,11 +263,12 @@ def run_training(
             if log is not None:
                 log.log_val(epoch, it, acc.means(), val_acc.means(), time.time() - start)
         acc.reset()
-        if ((epoch + 1) % cfg.save_epoch == 0 or epoch + 1 == max_epoch) and primary:
+        if (epoch + 1) % cfg.save_epoch == 0 or epoch + 1 == max_epoch:
+            # all hosts call: orbax saves are collective (state.py)
             state_lib.save_checkpoint(
                 os.path.join(save_dir, f"model-epoch{epoch}"),
-                jax.device_get(gen_state),
-                jax.device_get(disc_state) if disc_state is not None else None,
+                gen_state,
+                disc_state,
                 epoch + 1,
             )
     if log is not None:

@@ -120,12 +120,19 @@ def init_states(
 
 
 def save_checkpoint(path: str, gen_state: GenState, disc_state: Optional[DiscState], epoch: int):
+    """Write an orbax checkpoint.
+
+    Multi-host: orbax saves are collective (every process must call save —
+    it syncs all hosts and the primary writes the replicated arrays), so the
+    training loop calls this on ALL processes and passes the live sharded
+    arrays through; single-process keeps the device_get-to-numpy path."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    ckpt = {"gen": jax.device_get(gen_state), "epoch": epoch}
+    prep = (lambda t: t) if jax.process_count() > 1 else jax.device_get
+    ckpt = {"gen": prep(gen_state), "epoch": epoch}
     if disc_state is not None:
-        ckpt["disc"] = jax.device_get(disc_state)
+        ckpt["disc"] = prep(disc_state)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, ckpt, force=True)
 
