@@ -157,12 +157,6 @@ def run_chunked_inference(
     chunks = np.stack(chunks)
     masks = np.stack(masks)
 
-    fwd = jax.jit(
-        lambda c, m: generator.apply(
-            variables, c, m, pred_color=pred_color, pred_sdf=True,
-            pred_semantic=pred_semantic, train=False,
-        )
-    )
     put = None
     if mesh is not None:
         # shard the window batch over the data axis: the scene's sliding
@@ -174,87 +168,198 @@ def run_chunked_inference(
         def put(a):
             return jax.device_put(a, sharding)
 
-    # scene accumulators (test_scene_as_chunks.py:136-140)
-    acc_sdf = np.zeros(scene_dims, np.float64)
-    acc_color = np.zeros(scene_dims + (3,), np.float64) if pred_color else None
-    acc_sem = np.zeros(scene_dims + (n_classes,), np.float64) if pred_semantic else None
-    counts = np.zeros(scene_dims, np.int32)
-    occ_out = np.zeros(scene_dims, bool)
+    # Device-side stitching: the generator forward, the interior masking, the
+    # scatter-accumulate into scene-sized buffers, and the IoU accumulation
+    # all run inside ONE jitted update per window batch — the host only feeds
+    # window buffers and reads the final accumulators once. (The reference
+    # stitches window-by-window on the host, test_scene_as_chunks.py:199-250;
+    # a host loop per window would dominate whole-scene inference on TPU.)
+    Z, Y, X = (int(d) for d in scene_dims)
+    n_scene = Z * Y * X
+    has_target = target_sdf is not None
+    has_sem_target = has_target and target_semantics is not None and pred_semantic
 
-    geo_i = 0
-    geo_u = 0
-    cls_i = np.zeros(n_classes, np.int64)
-    cls_u = np.zeros(n_classes, np.int64)
-    cls_w = np.zeros(n_classes, np.int64)
+    tgt_flat = None
+    kn_flat = None
+    sm_flat = None
+    if has_target:
+        tgt_flat = jnp.asarray(np.ascontiguousarray(target_sdf[:Z]), jnp.float32).reshape(-1)
+        kn_flat = (
+            jnp.asarray(known[:Z] <= 1).reshape(-1)
+            if known is not None
+            else jnp.ones((n_scene,), bool)
+        )
+        sm_flat = (
+            jnp.asarray(target_semantics[:Z]).reshape(-1).astype(jnp.int32)
+            if target_semantics is not None
+            else jnp.full((n_scene,), category.UNLABELED, jnp.int32)
+        )
+
+    zz = jnp.arange(cz, dtype=jnp.int32)[:, None, None]
+    yy = jnp.arange(cy, dtype=jnp.int32)[None, :, None]
+    xx = jnp.arange(cx, dtype=jnp.int32)[None, None, :]
+
+    # the forward stays its own jit so results are bit-identical to a
+    # standalone generator.apply (fusing it into the stitching program
+    # changes borderline threshold voxels by a ulp)
+    fwd = jax.jit(
+        lambda c, m: generator.apply(
+            variables, c, m, pred_color=pred_color, pred_sdf=True,
+            pred_semantic=pred_semantic, train=False,
+        )
+    )
+
+    def update(acc, occ_l, sdf_p, color_p, sem_p, pos, real):
+        occ_l = occ_l[..., 0]
+        sdf_p = sdf_p[..., 0]
+        occ = jax.nn.sigmoid(occ_l) > 0.5
+        surf = (jnp.abs(sdf_p) < truncation) & occ
+
+        y = pos[:, 0][:, None, None, None]  # (Bw,1,1,1)
+        x = pos[:, 1][:, None, None, None]
+        gz = jnp.broadcast_to(zz[None], occ.shape)
+        gy = y + jnp.broadcast_to(yy[None], occ.shape)
+        gx = x + jnp.broadcast_to(xx[None], occ.shape)
+        in_scene = (gz < Z) & (gy < Y) & (gx < X)
+
+        # interior mask (test_scene_as_chunks.py:216-236)
+        inter = in_scene
+        if stride < cy:
+            inter &= ~((y > 0) & (yy[None] < pad))
+            inter &= ~((x > 0) & (xx[None] < pad))
+            inter &= ~((y + cy < Y) & (yy[None] >= cy - pad))
+            inter &= ~((x + cx < X) & (xx[None] >= cx - pad))
+        keep = inter & surf & real[:, None, None, None]
+
+        flat = (gz * Y + gy) * X + gx
+        # masked-out contributions scatter out of bounds and are dropped
+        sidx = jnp.where(keep, flat, n_scene).reshape(-1)
+        add = lambda a, v: a.at[sidx].add(v.reshape(-1), mode="drop")
+        acc = dict(acc)
+        acc["sdf"] = add(acc["sdf"], jnp.where(keep, sdf_p, 0.0))
+        acc["counts"] = add(acc["counts"], keep.astype(jnp.int32))
+        if pred_color:
+            cvals = jnp.where(keep[..., None], (color_p + 1.0) * 0.5, 0.0)
+            acc["color"] = acc["color"].at[sidx].add(
+                cvals.reshape(-1, 3), mode="drop"
+            )
+        if pred_semantic:
+            svals = jnp.where(keep[..., None], sem_p, 0.0)
+            acc["sem"] = acc["sem"].at[sidx].add(
+                svals.reshape(-1, n_classes), mode="drop"
+            )
+        # occ: OR over windows in the clipped extent (the host reference
+        # overwrites in window order; OR differs only where overlapping
+        # windows disagree — the grid is informational, unused by metrics)
+        oidx = jnp.where(in_scene & real[:, None, None, None], flat, n_scene).reshape(-1)
+        acc["occ"] = acc["occ"].at[oidx].max(
+            occ.astype(jnp.int32).reshape(-1), mode="drop"
+        )
+
+        if has_target:
+            # gather target windows from the scene (fill values beyond the
+            # scene: sdf -> inf, known -> True, semantics -> UNLABELED;
+            # test_scene_as_chunks.py:166-180)
+            gidx = jnp.where(in_scene, flat, 0).reshape(-1)
+            tgt = jnp.where(
+                in_scene, tgt_flat[gidx].reshape(occ.shape), jnp.inf
+            )
+            kn = jnp.where(in_scene, kn_flat[gidx].reshape(occ.shape), True)
+            kn &= real[:, None, None, None]
+            tgt_occ = jnp.abs(tgt) < truncation
+            occ_r = occ & real[:, None, None, None]
+            acc["geo_i"] += jnp.sum((occ_r & tgt_occ & kn).astype(jnp.int32))
+            acc["geo_u"] += jnp.sum(((occ_r | tgt_occ) & kn).astype(jnp.int32))
+            if has_sem_target:
+                sm = jnp.where(
+                    in_scene, sm_flat[gidx].reshape(occ.shape), category.UNLABELED
+                )
+                lbl = jnp.argmax(sem_p, axis=-1)
+                sem_known = kn & (sm != category.UNLABELED)
+                p1 = jax.nn.one_hot(lbl, n_classes, dtype=jnp.int32) * occ_r[..., None]
+                t1 = jax.nn.one_hot(sm, n_classes, dtype=jnp.int32) * tgt_occ[..., None]
+                k1 = sem_known[..., None].astype(jnp.int32)
+                acc["cls_i"] += jnp.sum(p1 * t1 * k1, axis=(0, 1, 2, 3))
+                acc["cls_u"] += jnp.sum(
+                    (((p1 + t1) > 0).astype(jnp.int32)) * k1, axis=(0, 1, 2, 3)
+                )
+                acc["cls_w"] += jnp.sum(
+                    jax.nn.one_hot(sm, n_classes, dtype=jnp.int32)
+                    * real[:, None, None, None, None].astype(jnp.int32),
+                    axis=(0, 1, 2, 3),
+                )
+        return acc
+
+    update_jit = jax.jit(update, donate_argnums=(0, 1, 2, 3, 4))
+
+    acc = dict(
+        sdf=jnp.zeros((n_scene,), jnp.float32),
+        counts=jnp.zeros((n_scene,), jnp.int32),
+        occ=jnp.zeros((n_scene,), jnp.int32),
+        geo_i=jnp.zeros((), jnp.int32),
+        geo_u=jnp.zeros((), jnp.int32),
+        cls_i=jnp.zeros((n_classes,), jnp.int32),
+        cls_u=jnp.zeros((n_classes,), jnp.int32),
+        cls_w=jnp.zeros((n_classes,), jnp.int32),
+    )
+    if pred_color:
+        acc["color"] = jnp.zeros((n_scene, 3), jnp.float32)
+    if pred_semantic:
+        acc["sem"] = jnp.zeros((n_scene, n_classes), jnp.float32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        acc = {k: jax.device_put(v, rep) for k, v in acc.items()}
 
     for start in range(0, len(chunks), window_batch):
         cb = jnp.asarray(chunks[start : start + window_batch])
         mb = jnp.asarray(masks[start : start + window_batch])
+        pos = np.zeros((window_batch, 2), np.int32)
+        real = np.zeros((window_batch,), bool)
+        for bi in range(min(window_batch, n_win - start)):
+            pos[bi] = positions[start + bi]
+            real[bi] = True
+        pos = jnp.asarray(pos)
+        real_j = jnp.asarray(real)
         if put is not None:
             cb = put(cb)
             mb = put(mb)
+            pos = put(pos)
+            real_j = put(real_j)
         occ_l, sdf_p, color_p, sem_p = fwd(cb, mb)
-        occ_l = np.asarray(occ_l)[..., 0]
-        sdf_p = np.asarray(sdf_p)[..., 0]
-        color_p = np.asarray(color_p) if color_p is not None else None
-        sem_p = np.asarray(sem_p) if sem_p is not None else None
+        zero = jnp.zeros((), jnp.float32)
+        acc = update_jit(
+            acc, occ_l, sdf_p,
+            color_p if color_p is not None else zero,
+            sem_p if sem_p is not None else zero,
+            pos, real_j,
+        )
 
-        for bi in range(min(window_batch, n_win - start)):
-            y, x = positions[start + bi]
-            occ = 1.0 / (1.0 + np.exp(-occ_l[bi])) > 0.5
-            surf = (np.abs(sdf_p[bi]) < truncation) & occ
-
-            # per-window IoU vs target (test_scene_as_chunks.py:74-89,183-197)
-            if target_sdf is not None:
-                tgt_chunk = np.full(chunk_dims, np.inf, np.float32)
-                kn_chunk = np.ones(chunk_dims, bool)
-                sm_chunk = np.full(chunk_dims, category.UNLABELED, np.uint8)
-                fz = min(scene_dims[0], cz)
-                fy = min(scene_dims[1] - y, cy)
-                fx = min(scene_dims[2] - x, cx)
-                tgt_chunk[:fz, :fy, :fx] = target_sdf[:cz, y : y + cy, x : x + cx]
-                if known is not None:
-                    kn_chunk[:fz, :fy, :fx] = known[:cz, y : y + cy, x : x + cx] <= 1
-                if target_semantics is not None:
-                    sm_chunk[:fz, :fy, :fx] = target_semantics[:cz, y : y + cy, x : x + cx]
-                tgt_occ = np.abs(tgt_chunk) < truncation
-                geo_i += int(np.sum(occ & tgt_occ & kn_chunk))
-                geo_u += int(np.sum((occ | tgt_occ) & kn_chunk))
-                if target_semantics is not None and sem_p is not None:
-                    lbl = np.argmax(sem_p[bi], axis=-1)
-                    sem_known = kn_chunk & (sm_chunk != category.UNLABELED)
-                    for cl in range(n_classes):
-                        t = tgt_occ & (sm_chunk == cl)
-                        p = occ & (lbl == cl)
-                        cls_i[cl] += int(np.sum(p & t & sem_known))
-                        cls_u[cl] += int(np.sum((p | t) & sem_known))
-                        cls_w[cl] += int(np.sum(sm_chunk == cl))
-
-            # stitch (test_scene_as_chunks.py:199-250)
-            inter = interior_mask(y, x, chunk_dims, scene_dims, stride, pad) & surf
-            zz, yy, xx = np.nonzero(inter)
-            gy = yy + y
-            gx = xx + x
-            acc_sdf[zz, gy, gx] += sdf_p[bi][zz, yy, xx]
-            counts[zz, gy, gx] += 1
-            if acc_color is not None and color_p is not None:
-                acc_color[zz, gy, gx] += (color_p[bi][zz, yy, xx] + 1.0) * 0.5
-            if acc_sem is not None and sem_p is not None:
-                acc_sem[zz, gy, gx] += sem_p[bi][zz, yy, xx]
-            fz = min(scene_dims[0], cz)
-            fy = min(scene_dims[1] - y, cy)
-            fx = min(scene_dims[2] - x, cx)
-            occ_out[:fz, y : y + fy, x : x + fx] = occ[:fz, :fy, :fx]
+    acc = jax.device_get(acc)
+    counts = acc["counts"].reshape(scene_dims)
+    occ_out = acc["occ"].reshape(scene_dims).astype(bool)
+    geo_i = int(acc["geo_i"])
+    geo_u = int(acc["geo_u"])
+    cls_i = acc["cls_i"].astype(np.int64)
+    cls_u = acc["cls_u"].astype(np.int64)
+    cls_w = acc["cls_w"].astype(np.int64)
 
     # normalize (test_scene_as_chunks.py:270-280)
     got = counts > 0
     sdf_out = np.full(scene_dims, -np.inf, np.float32)
+    acc_sdf = acc["sdf"].reshape(scene_dims)
     sdf_out[got] = np.clip(acc_sdf[got] / counts[got], -truncation, truncation)
     color_out = None
-    if acc_color is not None:
+    if pred_color:
+        acc_color = acc["color"].reshape(scene_dims + (3,))
         color_out = np.zeros(scene_dims + (3,), np.float32)
         color_out[got] = np.clip(acc_color[got] / counts[got][:, None] * 255.0, 0, 255)
-    sem_out = acc_sem.astype(np.float32) if acc_sem is not None else None
+    sem_out = (
+        acc["sem"].reshape(scene_dims + (n_classes,)).astype(np.float32)
+        if pred_semantic
+        else None
+    )
 
     return SceneOutputs(
         sdf=sdf_out,

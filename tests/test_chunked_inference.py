@@ -43,11 +43,18 @@ def test_single_window_matches_direct_forward():
         pred_color=True, pred_sdf=True, pred_semantic=True, train=False,
     )
     sdf_p = np.asarray(sdf_p)[0, ..., 0]
-    occ = 1 / (1 + np.exp(-np.asarray(occ_l)[0, ..., 0])) > 0.5
+    occ_l = np.asarray(occ_l)[0, ..., 0]
+    occ = 1 / (1 + np.exp(-occ_l)) > 0.5
     surf = (np.abs(sdf_p) < 3.0) & occ
     got = out.counts > 0
-    np.testing.assert_array_equal(got, surf)
-    np.testing.assert_allclose(out.sdf[got], sdf_p[surf], atol=1e-5)
+    # the device stitch evaluates sigmoid(occ_l) > 0.5 on device; with an
+    # UNTRAINED model occ_l ~ 0 everywhere, so exclude voxels within a ulp of
+    # the decision boundary (|occ_l| tiny) where device exp and numpy exp may
+    # round the threshold differently
+    decided = np.abs(occ_l) > 1e-5
+    np.testing.assert_array_equal(got[decided], surf[decided])
+    both = got & surf
+    np.testing.assert_allclose(out.sdf[both], sdf_p[both], atol=1e-5)
 
 
 def test_multi_window_stitching():
