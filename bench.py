@@ -79,7 +79,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
     batch_size = args.batch_size if batch_size is None else batch_size
     bf16 = args.bf16 if bf16 is None else bf16
     remat = getattr(args, "remat", False) if remat is None else remat
-    dims = (128, 64, 64)
+    dims = (128, 64, 64) if args.dims == 0 else (args.dims,) * 3  # smoke-test knob
     full = args.mode == "full"
     cfg = TrainConfig(
         input_dim=dims,
@@ -192,6 +192,9 @@ def main():
     p.add_argument("--mode", choices=["full", "geo", "scene"], default="full")
     p.add_argument("--bf16", action="store_true", help="bfloat16 conv compute")
     p.add_argument("--remat", action="store_true", help="rematerialized generator")
+    p.add_argument("--dims", type=int, default=0,
+                   help="cubic chunk dims override (0 = reference 128x64x64); "
+                   "for CPU smoke tests only")
     p.add_argument("--sweep", action="store_true",
                    help="batch-scaling sweep; reports the best config")
     args = p.parse_args()
