@@ -41,9 +41,12 @@ def chunk_visible_frames(
     trajectory frames whose frustum sees the room OBB plus the 30 closest as
     fallback, datagen/src/Scene.h:51-96 via Visualizer.h:25-34).
 
-    A frame "sees" the chunk when any of the chunk AABB's 8 world-space
-    corners or its center projects inside the image within depth_range, or
-    the camera sits inside the AABB."""
+    A frame "sees" the chunk when (a) any of the chunk AABB's 8 world-space
+    corners or its center projects inside the image within depth_range, (b)
+    any sample of the camera frustum (a 5x4 pixel grid at 4 depths) lands
+    inside the AABB — catching close-up views where the chunk fills the
+    image and every corner projects outside it — or (c) the camera sits
+    inside the AABB."""
     cz, cy, cx = chunk_dims_zyx
     g2w = np.linalg.inv(w2g_chunk)
     corners_g = np.array(
@@ -60,6 +63,14 @@ def chunk_visible_frames(
     lo_w = pts_w[:8, :3].min(0)
     hi_w = pts_w[:8, :3].max(0)
     inside = np.all((cam_pos >= lo_w) & (cam_pos <= hi_w), axis=1)
+    # frustum sample points in camera space: pixel grid x depth levels
+    us = np.linspace(0, w - 1, 5)
+    vs = np.linspace(0, h - 1, 4)
+    ds = np.linspace(max(depth_range[0], 0.2), depth_range[1], 4)
+    uu, vv, dd = np.meshgrid(us, vs, ds, indexing="ij")
+    fr_cam = np.stack(
+        [(uu - mx) / fx * dd, (vv - my) / fy * dd, dd], axis=-1
+    ).reshape(-1, 3)
     for fi in range(F):
         w2c = np.linalg.inv(cam2world[fi])
         p = pts_w[:, :3] @ w2c[:3, :3].T + w2c[:3, 3]
@@ -68,7 +79,11 @@ def chunk_visible_frames(
         u = fx * p[:, 0] / np.maximum(z, 1e-9) + mx
         v = fy * p[:, 1] / np.maximum(z, 1e-9) + my
         ok &= (u >= 0) & (v >= 0) & (u < w) & (v < h)
-        vis[fi] = inside[fi] or bool(ok.any())
+        hit = inside[fi] or bool(ok.any())
+        if not hit:
+            fr_w = fr_cam @ cam2world[fi][:3, :3].T + cam_pos[fi]
+            hit = bool(np.any(np.all((fr_w >= lo_w) & (fr_w <= hi_w), axis=1)))
+        vis[fi] = hit
     center_w = pts_w[8, :3]
     dist = np.linalg.norm(cam_pos - center_w, axis=1)
     order = np.argsort(dist, kind="stable")
@@ -89,7 +104,7 @@ def cut_scene_to_chunks(
     min_surface_voxels: int = 500,
     trunc_store: float = 6.0,
     frame_info_dir: Optional[str] = None,
-    image_dims: Tuple[int, int] = (320, 256),
+    image_dims: Optional[Tuple[int, int]] = None,
 ) -> List[str]:
     """Write ``<name>__inc__<k>.sdf`` / ``__cmp__<k>.sdf`` chunk files (inline
     known + colors) for every sufficiently-occupied window. Returns the list
@@ -106,6 +121,11 @@ def cut_scene_to_chunks(
     traj = None
     if os.path.isfile(cmp_prefix + ".traj.npz"):
         traj = np.load(cmp_prefix + ".traj.npz")
+        if image_dims is None:
+            # the scan renders with principal point at the image center
+            # (scan.py ScanConfig), so the true raster size is (2mx, 2my)
+            intr = traj["intrinsics"]
+            image_dims = (int(round(2 * intr[2])), int(round(2 * intr[3])))
         if frame_info_dir is None:
             frame_info_dir = output_dir
         os.makedirs(frame_info_dir, exist_ok=True)

@@ -253,7 +253,10 @@ def vertex_labels_from_segmentation(
     lut_size = int(max(vsegs.max(initial=0), seg_ids.max(initial=0))) + 2
     lut = np.full(lut_size, UNLABELED, np.int64)
     lut[seg_ids] = seg_label_ids
-    return lut[np.clip(vsegs, 0, lut_size - 1)]
+    # negative segment ids mark unsegmented vertices -> UNLABELED (the last
+    # lut slot is never a real segment and stays UNLABELED)
+    idx = np.where(vsegs < 0, lut_size - 1, np.clip(vsegs, 0, lut_size - 1))
+    return lut[idx]
 
 
 def face_labels_from_vertex_labels(faces: np.ndarray, vertex_labels: np.ndarray) -> np.ndarray:

@@ -76,14 +76,6 @@ class RaycastConfig:
     coarse_hops: int = 2  # skip hops per march iteration (sequential gathers)
     march_block: int = 16  # fine trilerp samples evaluated per iteration
 
-    @property
-    def max_steps(self) -> int:
-        return int(
-            math.ceil(
-                (self.depth_max - self.depth_min) * self.max_dir_slack / self.ray_increment
-            )
-        )
-
 
 class RaycastOutput(NamedTuple):
     color: jax.Array  # (B, H, W, 3), -inf invalid
@@ -265,6 +257,75 @@ def build_block_windows(cell_ok: jax.Array, block: int) -> jax.Array:
     return jnp.stack(chans, axis=-1)
 
 
+def _skip_hop(k, dead, rays, t0, t_stop, step, win_flat, nb, blockf, shift):
+    """One conservative skip hop, shared by both marches: classify the next
+    SKIP_HORIZON lattice samples (starting at per-ray index ``k``) against
+    the packed 2x2x2 block-window flags and return ``skip_n`` (B, P) — the
+    length of the leading run of provably-empty samples.
+
+    ``shift`` maps ray positions to the flag volume's coordinates: 0.0 for
+    trilerp cells (cell = floor(p)), 0.5 for nearest-voxel lookups
+    (voxel = floor(p + 0.5)). Classification positions use the exact lattice
+    expression t0 + (k + j) * step — the same single f32 rounding as the fine
+    march's sample positions, so a sample is classified at exactly the
+    position it would be evaluated at (double rounding here could misplace a
+    boundary sample into the neighboring block and break conservatism)."""
+    ox, oy, oz, dx, dy, dz = rays
+    nbz, nby, nbx = nb
+    B, P = k.shape
+    jj = jnp.arange(SKIP_HORIZON, dtype=jnp.float32)
+
+    t = t0 + k * step
+    tt = jnp.where(dead, t0, t)  # constant gather indices for dead rays
+    px = ox + tt * dx + shift
+    py = oy + tt * dy + shift
+    pz = oz + tt * dz + shift
+    bx0 = jnp.floor(px / blockf)
+    by0 = jnp.floor(py / blockf)
+    bz0 = jnp.floor(pz / blockf)
+    # window covers blocks base..base+1; pick base so the ray moves into the
+    # window (direction ~0 on an axis keeps the current block inside either
+    # way)
+    basex = jnp.where(dx > 0, bx0, bx0 - 1.0)
+    basey = jnp.where(dy > 0, by0, by0 - 1.0)
+    basez = jnp.where(dz > 0, bz0, bz0 - 1.0)
+    usable = (
+        ~dead
+        & (basex >= -1) & (basex <= nbx)
+        & (basey >= -1) & (basey <= nby)
+        & (basez >= -1) & (basez <= nbz)
+    )
+    six = jnp.clip(basex + 1, 0, nbx + 1).astype(jnp.int32)
+    siy = jnp.clip(basey + 1, 0, nby + 1).astype(jnp.int32)
+    siz = jnp.clip(basez + 1, 0, nbz + 1).astype(jnp.int32)
+    widx = (siz * (nby + 2) + siy) * (nbx + 2) + six
+    row = jnp.take_along_axis(
+        win_flat, widx.reshape(B, -1, 1), axis=1, mode="clip"
+    ).reshape(B, P, 8)
+
+    tj = t0[..., None] + (k[..., None] + jj) * step  # (B, P, S), exact lattice
+    wx = jnp.floor((ox[..., None] + tj * dx[..., None] + shift) / blockf) - basex[..., None]
+    wy = jnp.floor((oy[..., None] + tj * dy[..., None] + shift) / blockf) - basey[..., None]
+    wz = jnp.floor((oz[..., None] + tj * dz[..., None] + shift) / blockf) - basez[..., None]
+    in_win = (
+        usable[..., None]
+        & (wx >= 0) & (wx <= 1)
+        & (wy >= 0) & (wy <= 1)
+        & (wz >= 0) & (wz <= 1)
+    )
+    g = lambda ch: row[..., ch][..., None]
+    fz0 = jnp.where(
+        wy > 0.5, jnp.where(wx > 0.5, g(3), g(2)), jnp.where(wx > 0.5, g(1), g(0))
+    )
+    fz1 = jnp.where(
+        wy > 0.5, jnp.where(wx > 0.5, g(7), g(6)), jnp.where(wx > 0.5, g(5), g(4))
+    )
+    flag = jnp.where(wz > 0.5, fz1, fz0)
+    prov_empty = in_win & (flag < 0.5)
+    run = jnp.cumprod(prov_empty.astype(jnp.int32), axis=-1)
+    return jnp.sum(run, axis=-1).astype(jnp.float32)
+
+
 def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
     """Non-differentiable surface search. Returns a dict with per-pixel:
     hit (B,P) bool, alpha (B,P) ray length, hit voxel flat index (B,P) int32.
@@ -335,73 +396,19 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
         # cell is NaN-coded iff any corner invalid -> corner 0 finite == all ok
         cell_ok = jnp.isfinite(cells[..., 0])
         win = build_block_windows(cell_ok, cfg.coarse_block)
-        nbz, nby, nbx = win.shape[1] - 2, win.shape[2] - 2, win.shape[3] - 2
+        nb = (win.shape[1] - 2, win.shape[2] - 2, win.shape[3] - 2)
         win_flat = win.reshape(B, -1, 8)
         blockf = jnp.float32(cfg.coarse_block)
-        jj = jnp.arange(SKIP_HORIZON, dtype=jnp.float32)
+        rays = (ox, oy, oz, dx, dy, dz)
 
         def hop(k, prev, found):
-            """One conservative skip hop: classify the next SKIP_HORIZON
-            lattice samples with a single packed window gather, jump the
-            leading run of provably-invalid ones (and reset prev to NaN —
-            exactly what evaluating them would have produced)."""
-            t = t0 + k * step
-            dead = found | (t > t_stop)
-            tt = jnp.where(dead, t0, t)  # constant indices for dead rays
-            px = ox + tt * dx
-            py = oy + tt * dy
-            pz = oz + tt * dz
-            bx0 = jnp.floor(px / blockf)
-            by0 = jnp.floor(py / blockf)
-            bz0 = jnp.floor(pz / blockf)
-            # window covers blocks base..base+1; pick base so the ray moves
-            # into the window (direction ~0 on an axis keeps the current
-            # block inside either way)
-            basex = jnp.where(dx > 0, bx0, bx0 - 1.0)
-            basey = jnp.where(dy > 0, by0, by0 - 1.0)
-            basez = jnp.where(dz > 0, bz0, bz0 - 1.0)
-            usable = (
-                ~dead
-                & (basex >= -1) & (basex <= nbx)
-                & (basey >= -1) & (basey <= nby)
-                & (basez >= -1) & (basez <= nbz)
+            """Jump the leading run of provably-invalid samples and reset
+            prev to NaN — exactly what evaluating them would have produced."""
+            dead = found | (t0 + k * step > t_stop)
+            skip_n = _skip_hop(
+                k, dead, rays, t0, t_stop, step, win_flat, nb, blockf, 0.0
             )
-            six = jnp.clip(basex + 1, 0, nbx + 1).astype(jnp.int32)
-            siy = jnp.clip(basey + 1, 0, nby + 1).astype(jnp.int32)
-            siz = jnp.clip(basez + 1, 0, nbz + 1).astype(jnp.int32)
-            widx = (siz * (nby + 2) + siy) * (nbx + 2) + six
-            row = jnp.take_along_axis(
-                win_flat, widx.reshape(B, -1, 1), axis=1, mode="clip"
-            ).reshape(B, P, 8)
-
-            tj = tt[..., None] + jj * step  # (B, P, S)
-            wx = jnp.floor((ox[..., None] + tj * dx[..., None]) / blockf) - basex[..., None]
-            wy = jnp.floor((oy[..., None] + tj * dy[..., None]) / blockf) - basey[..., None]
-            wz = jnp.floor((oz[..., None] + tj * dz[..., None]) / blockf) - basez[..., None]
-            in_win = (
-                usable[..., None]
-                & (wx >= 0) & (wx <= 1)
-                & (wy >= 0) & (wy <= 1)
-                & (wz >= 0) & (wz <= 1)
-            )
-            g = lambda ch: row[..., ch][..., None]
-            fz0 = jnp.where(
-                wy > 0.5,
-                jnp.where(wx > 0.5, g(3), g(2)),
-                jnp.where(wx > 0.5, g(1), g(0)),
-            )
-            fz1 = jnp.where(
-                wy > 0.5,
-                jnp.where(wx > 0.5, g(7), g(6)),
-                jnp.where(wx > 0.5, g(5), g(4)),
-            )
-            flag = jnp.where(wz > 0.5, fz1, fz0)
-            prov_invalid = in_win & (flag < 0.5)
-            run = jnp.cumprod(prov_invalid.astype(jnp.int32), axis=-1)
-            skip_n = jnp.sum(run, axis=-1).astype(jnp.float32)
-            k2 = k + skip_n
-            prev2 = jnp.where(skip_n > 0, jnp.nan, prev)
-            return k2, prev2
+            return k + skip_n, jnp.where(skip_n > 0, jnp.nan, prev)
 
     init = dict(
         it=jnp.zeros((), jnp.int32),
@@ -695,56 +702,17 @@ def raycast_occ(
     use_skip = cfg.coarse_skip
     if use_skip:
         win = build_block_windows(occ_b, cfg.coarse_block)
-        nbz, nby, nbx = win.shape[1] - 2, win.shape[2] - 2, win.shape[3] - 2
+        nb = (win.shape[1] - 2, win.shape[2] - 2, win.shape[3] - 2)
         win_flat = win.reshape(B, -1, 8)
         blockf = jnp.float32(cfg.coarse_block)
-        jj = jnp.arange(SKIP_HORIZON, dtype=jnp.float32)
+        rays = (ox, oy, oz, dx, dy, dz)
 
         def hop(k, done):
-            t = t0 + k * step
-            dead = done | (t > t_stop)
-            tt = jnp.where(dead, t0, t)
-            # voxel = floor(p + 0.5): classify in shifted coords q = p + 0.5
-            qx = ox + tt * dx + 0.5
-            qy = oy + tt * dy + 0.5
-            qz = oz + tt * dz + 0.5
-            basex = jnp.where(dx > 0, jnp.floor(qx / blockf), jnp.floor(qx / blockf) - 1.0)
-            basey = jnp.where(dy > 0, jnp.floor(qy / blockf), jnp.floor(qy / blockf) - 1.0)
-            basez = jnp.where(dz > 0, jnp.floor(qz / blockf), jnp.floor(qz / blockf) - 1.0)
-            usable = (
-                ~dead
-                & (basex >= -1) & (basex <= nbx)
-                & (basey >= -1) & (basey <= nby)
-                & (basez >= -1) & (basez <= nbz)
+            # voxel = floor(p + 0.5): classify in shifted coords (shift 0.5)
+            dead = done | (t0 + k * step > t_stop)
+            return k + _skip_hop(
+                k, dead, rays, t0, t_stop, step, win_flat, nb, blockf, 0.5
             )
-            six = jnp.clip(basex + 1, 0, nbx + 1).astype(jnp.int32)
-            siy = jnp.clip(basey + 1, 0, nby + 1).astype(jnp.int32)
-            siz = jnp.clip(basez + 1, 0, nbz + 1).astype(jnp.int32)
-            widx = (siz * (nby + 2) + siy) * (nbx + 2) + six
-            row = jnp.take_along_axis(
-                win_flat, widx.reshape(B, -1, 1), axis=1, mode="clip"
-            ).reshape(B, P, 8)
-            tj = tt[..., None] + jj * step
-            wx = jnp.floor((ox[..., None] + tj * dx[..., None] + 0.5) / blockf) - basex[..., None]
-            wy = jnp.floor((oy[..., None] + tj * dy[..., None] + 0.5) / blockf) - basey[..., None]
-            wz = jnp.floor((oz[..., None] + tj * dz[..., None] + 0.5) / blockf) - basez[..., None]
-            in_win = (
-                usable[..., None]
-                & (wx >= 0) & (wx <= 1)
-                & (wy >= 0) & (wy <= 1)
-                & (wz >= 0) & (wz <= 1)
-            )
-            g = lambda ch: row[..., ch][..., None]
-            fz0 = jnp.where(
-                wy > 0.5, jnp.where(wx > 0.5, g(3), g(2)), jnp.where(wx > 0.5, g(1), g(0))
-            )
-            fz1 = jnp.where(
-                wy > 0.5, jnp.where(wx > 0.5, g(7), g(6)), jnp.where(wx > 0.5, g(5), g(4))
-            )
-            flag = jnp.where(wz > 0.5, fz1, fz0)
-            empty = in_win & (flag < 0.5)
-            run = jnp.cumprod(empty.astype(jnp.int32), axis=-1)
-            return k + jnp.sum(run, axis=-1).astype(jnp.float32)
 
     init = dict(it=jnp.zeros((), jnp.int32), k=jnp.zeros((B, P), jnp.float32),
                 hit=jnp.zeros((B, P), bool))

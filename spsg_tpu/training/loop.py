@@ -200,6 +200,17 @@ def run_training(
                         epoch,
                     )
             timer.step()
+            if n_proc > 1:
+                # preemption signals usually hit one host; the collective
+                # checkpoint below needs every process to join, so agree on
+                # the stop flag first (any host stopping stops all)
+                from jax.experimental import multihost_utils
+
+                stop_requested["flag"] = bool(
+                    multihost_utils.process_allgather(
+                        np.asarray(stop_requested["flag"])
+                    ).any()
+                )
             if stop_requested["flag"]:
                 state_lib.save_checkpoint(
                     os.path.join(save_dir, f"model-preempt-iter{it}"),

@@ -256,7 +256,7 @@ def test_matterport_semseg_vsegs_ingestion(tmp_path):
     mesh_path = str(tmp_path / "scene.ply")
     mesh_ops.save_ply(mesh_path, verts, faces, np.full((4, 3), 99, np.uint8))
 
-    vsegs = {"params": {"kThresh": "0.01"}, "segIndices": [7, 7, 12, 12]}
+    vsegs = {"params": {"kThresh": "0.01"}, "segIndices": [7, 7, 12, -1]}
     semseg = {
         "sceneId": "scene", "appId": "test",
         "segGroups": [
@@ -275,9 +275,10 @@ def test_matterport_semseg_vsegs_ingestion(tmp_path):
         str(tmp_path / "scene.vsegs.json"), str(tmp_path / "scene.semseg.json"),
         str(mapping),
     )
-    np.testing.assert_array_equal(vlabels, [1, 1, 12, 12])
+    # -1 marks an unsegmented vertex -> UNLABELED (14), not segment 0's label
+    np.testing.assert_array_equal(vlabels, [1, 1, 12, 14])
     flabels = semantics.face_labels_from_vertex_labels(faces, vlabels)
-    np.testing.assert_array_equal(flabels, [1, 12])
+    np.testing.assert_array_equal(flabels, [1, 1])
 
     # full CLI path: scan the mesh, chunk it, extend with raw annotations
     scans = str(tmp_path / "scans")

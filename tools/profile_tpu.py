@@ -107,6 +107,11 @@ def bench_pipeline(args):
         n_batches += 1
         if n_batches == n_warm:
             t0 = time.perf_counter()
+    if t0 is None or n_batches - n_warm <= 0:
+        raise SystemExit(
+            f"pipeline probe needs > {n_warm} batches to time "
+            f"(got {n_batches}; add files or lower --batch_size)"
+        )
     dt = time.perf_counter() - t0
     timed_batches = n_batches - n_warm
     print(
