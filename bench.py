@@ -185,6 +185,25 @@ def bench_sweep(args):
 
 
 def main():
+    # Watchdog: if the TPU relay is wedged, backend init hangs forever (no
+    # exception); bail out with a clear message instead of hanging the
+    # driver. 30 min >> the ~4 min first-compile of the full step.
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(timeout=int(os.environ.get("BENCH_WATCHDOG_S", "1800"))):
+            print(
+                "[bench] WATCHDOG: no result within the time limit — the TPU "
+                "relay/backend is likely wedged (see CLAUDE.md); aborting",
+                file=sys.stderr,
+            )
+            os._exit(7)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=2)  # reference default (train.py:49)
     p.add_argument("--steps", type=int, default=10)
@@ -199,11 +218,14 @@ def main():
                    help="batch-scaling sweep; reports the best config")
     args = p.parse_args()
 
-    if args.mode == "scene":
-        return bench_scene(args)
-    if args.sweep:
-        return bench_sweep(args)
-    bench_train(args)
+    try:
+        if args.mode == "scene":
+            return bench_scene(args)
+        if args.sweep:
+            return bench_sweep(args)
+        bench_train(args)
+    finally:
+        done.set()
 
 
 if __name__ == "__main__":
