@@ -16,12 +16,23 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compile cache: repeat bench invocations skip the ~4 min
+# first-compile of the full train step (same cache the tests share)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    ),
+)
 
 
 def bench_scene(args):
@@ -192,9 +203,11 @@ def main():
     import threading
 
     done = threading.Event()
+    sweep_run = "--sweep" in sys.argv  # sweeps legitimately run for hours
 
     def _watchdog():
-        if not done.wait(timeout=int(os.environ.get("BENCH_WATCHDOG_S", "1800"))):
+        base = int(os.environ.get("BENCH_WATCHDOG_S", "1800"))
+        if not done.wait(timeout=base * (12 if sweep_run else 1)):
             print(
                 "[bench] WATCHDOG: no result within the time limit — the TPU "
                 "relay/backend is likely wedged (see CLAUDE.md); aborting",
