@@ -19,7 +19,9 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--metric", choices=["chamfer", "ssim", "feature_l1"], required=True)
+    p.add_argument(
+        "--metric", choices=["chamfer", "ssim", "feature_l1", "fid"], required=True
+    )
     p.add_argument("--pred_dir", required=True)
     p.add_argument("--target_dir", required=True)
     p.add_argument("--pred_suffix", default="_pred-mesh.ply")
@@ -36,6 +38,32 @@ def main(argv=None):
         for f in os.listdir(args.pred_dir)
         if f.endswith(args.pred_suffix)
     )
+
+    if args.metric == "fid":
+        # set-level metric: Frechet distance between the pred and target
+        # image distributions (the reference delegates FID to the external
+        # TTUR repo, metrics.py:7; self-contained here)
+        from PIL import Image
+
+        def load_set(d, suffix):
+            imgs = []
+            for f in sorted(os.listdir(d)):
+                if f.endswith(suffix):
+                    imgs.append(np.array(Image.open(os.path.join(d, f)).convert("RGB")) / 255.0)
+            return imgs
+
+        pred_imgs = load_set(args.pred_dir, args.pred_suffix)
+        tgt_imgs = load_set(args.target_dir, args.target_suffix)
+        if len(pred_imgs) < 2 or len(tgt_imgs) < 2:
+            print("fid needs >= 2 images per set")
+            return
+        val = M.fid(M.image_features(pred_imgs), M.image_features(tgt_imgs))
+        print(f"fid over {len(pred_imgs)} pred / {len(tgt_imgs)} target images: {val:.6f}")
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(f"fid {val}\n")
+        return
+
     results = []
     for name in names:
         pred_path = os.path.join(args.pred_dir, name + args.pred_suffix)

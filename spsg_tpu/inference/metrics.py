@@ -93,3 +93,34 @@ def feature_l1(img1: np.ndarray, img2: np.ndarray) -> float:
     fa = fn(a)
     fb = fn(b)
     return float(jnp.mean(jnp.abs(fa - fb)))
+
+
+def fid(features_a: np.ndarray, features_b: np.ndarray, eps: float = 1e-6) -> float:
+    """Frechet distance between two Gaussian fits of feature sets
+    (Heusel et al. 2017). The reference only points at the external TTUR
+    repo (metrics.py:7 docstring); this is a self-contained implementation.
+    features: (N, D) pooled deep features per image."""
+    import scipy.linalg
+
+    a = np.asarray(features_a, np.float64)
+    b = np.asarray(features_b, np.float64)
+    mu_a, mu_b = a.mean(0), b.mean(0)
+    ca = np.cov(a, rowvar=False) + eps * np.eye(a.shape[1])
+    cb = np.cov(b, rowvar=False) + eps * np.eye(b.shape[1])
+    covmean, _ = scipy.linalg.sqrtm(ca @ cb, disp=False)
+    covmean = np.real(covmean)
+    diff = mu_a - mu_b
+    return float(diff @ diff + np.trace(ca) + np.trace(cb) - 2.0 * np.trace(covmean))
+
+
+def image_features(images) -> np.ndarray:
+    """Spatially-pooled deep features for a list of RGB images in [0,1]
+    (feeds fid(); same extractor as feature_l1 — pretrained when VGG weights
+    are available, see models/vgg.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    model, params = _feature_extractor()
+    fn = jax.jit(lambda x: jnp.mean(model.apply({"params": params}, x)[0], axis=(1, 2)))
+    feats = [np.asarray(fn(jnp.asarray(im, jnp.float32)[None]))[0] for im in images]
+    return np.stack(feats)

@@ -1,6 +1,8 @@
 """Evaluation-metric tests (SSIM, Chamfer, Feature-l1; reference
 torch/metrics.py)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -28,3 +30,41 @@ def test_feature_l1(rng):
     b = np.clip(a + 0.3, 0, 1)
     assert M.feature_l1(a, a) == pytest.approx(0.0, abs=1e-6)
     assert M.feature_l1(a, b) > 0.0
+
+
+def test_fid():
+    """FID: zero for identical distributions, positive and larger for a
+    shifted one (reference delegates FID to the TTUR repo, metrics.py:7)."""
+    from spsg_tpu.inference import metrics as M
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 1, (64, 16))
+    b = rng.normal(0, 1, (64, 16))
+    c = rng.normal(2.0, 1, (64, 16))
+    same = M.fid(a, a)
+    close = M.fid(a, b)
+    far = M.fid(a, c)
+    assert abs(same) < 1e-6
+    assert far > close > 0
+
+
+def test_fid_cli(tmp_path):
+    from PIL import Image
+
+    from spsg_tpu.cli import metrics as mcli
+
+    rng = np.random.default_rng(1)
+    for d, shift in (("p", 0), ("t", 80)):
+        os.makedirs(tmp_path / d)
+        for i in range(3):
+            img = (rng.random((32, 32, 3)) * 120 + shift).astype(np.uint8)
+            Image.fromarray(img).save(tmp_path / d / f"s{i}_x.png")
+    out = tmp_path / "fid.txt"
+    mcli.main([
+        "--metric", "fid", "--pred_dir", str(tmp_path / "p"),
+        "--target_dir", str(tmp_path / "t"),
+        "--pred_suffix", "_x.png", "--target_suffix", "_x.png",
+        "--output", str(out),
+    ])
+    val = float(open(out).read().split()[1])
+    assert np.isfinite(val) and val > 0
