@@ -506,7 +506,10 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
     hit_ok = _gather(valid.reshape(B, -1), idx)
     hit = found & ok_bis & inb & hit_ok
     depth = alpha * cam_z  # ray length -> camera z (kernel :215)
-    return dict(hit=hit, alpha=alpha, depth=depth, hit_idx=idx)
+    # n_iters: while-loop trip count — the march's cost driver (every
+    # iteration gathers march_block rows per ray in lockstep); exposed so
+    # tests/profilers can assert the coarse skip actually reduces work
+    return dict(hit=hit, alpha=alpha, depth=depth, hit_idx=idx, n_iters=c["it"])
 
 
 # ---------------------------------------------------------------------------

@@ -294,3 +294,23 @@ def test_raycast_occ_skip_matches_plain():
             outs[name] = np.asarray(out)[0]
         assert outs["skip"].sum() > 10
         np.testing.assert_array_equal(outs["skip"], outs["plain"])
+
+
+def test_coarse_skip_reduces_iterations():
+    """The skip's point: on a sparse scene the lockstep march finishes in
+    fewer while-loop iterations (the cost driver) than the plain march."""
+    import dataclasses
+
+    dims = (64, 64, 64)
+    sdf, valid = _blob_scene(dims, seed=7)
+    view, intr = _oblique_camera(dims)
+    base = _cfg(depth_max=200.0)
+    iters = {}
+    for name, skip in (("skip", True), ("plain", False)):
+        cfg = dataclasses.replace(base, coarse_skip=skip, march_block=16)
+        out = raycast.find_surface_crossings(
+            jnp.asarray(sdf[None]), jnp.asarray(valid[None]),
+            jnp.asarray(view[None]), jnp.asarray(intr[None]), cfg,
+        )
+        iters[name] = int(out["n_iters"])
+    assert iters["skip"] < iters["plain"], iters
