@@ -143,19 +143,8 @@ def run_chunked_inference(
     if not positions:
         raise ValueError("scene has no occupied windows")
 
-    chunks = []
-    masks = []
-    for y, x in positions:
-        c, m = extract_window(scene_input, scene_mask, y, x, chunk_dims, truncation)
-        chunks.append(c)
-        masks.append(m)
     n_win = len(positions)
-    n_pad = (-n_win) % window_batch
-    for _ in range(n_pad):
-        chunks.append(chunks[-1])
-        masks.append(masks[-1])
-    chunks = np.stack(chunks)
-    masks = np.stack(masks)
+    n_batches = -(-n_win) // window_batch
 
     put = None
     if mesh is not None:
@@ -199,6 +188,42 @@ def run_chunked_inference(
     yy = jnp.arange(cy, dtype=jnp.int32)[None, :, None]
     xx = jnp.arange(cx, dtype=jnp.int32)[None, None, :]
 
+    # Window extraction runs on device: the scene is padded once with the
+    # reference fill values (sdf -> -truncation, colors/mask -> 0,
+    # test_scene_as_chunks.py:166-180) so a dynamic_slice per window never
+    # clamps; the host feeds only (y, x) positions instead of copying ~MBs
+    # of window buffers per batch.
+    pad_y = cy
+    pad_x = cx
+    pad_z = max(0, cz - Z)
+    scene_in_pad = np.pad(
+        scene_input.astype(np.float32),
+        ((0, pad_z), (0, pad_y), (0, pad_x), (0, 0)),
+    )
+    scene_in_pad[Z:, :, :, 0] = -truncation
+    scene_in_pad[:, scene_dims[1] :, :, 0] = -truncation
+    scene_in_pad[:, :, scene_dims[2] :, 0] = -truncation
+    scene_mask_pad = np.pad(
+        scene_mask.astype(np.float32),
+        ((0, pad_z), (0, pad_y), (0, pad_x), (0, 0)),
+    )
+    scene_in_dev = jnp.asarray(scene_in_pad)
+    scene_mask_dev = jnp.asarray(scene_mask_pad)
+
+    def extract(pos):
+        def one(p):
+            c = jax.lax.dynamic_slice(
+                scene_in_dev,
+                (0, p[0], p[1], 0),
+                (cz, cy, cx, scene_in_dev.shape[-1]),
+            )
+            m = jax.lax.dynamic_slice(
+                scene_mask_dev, (0, p[0], p[1], 0), (cz, cy, cx, 1)
+            )
+            return c, m
+
+        return jax.vmap(one)(pos)
+
     # the forward stays its own jit so results are bit-identical to a
     # standalone generator.apply (fusing it into the stitching program
     # changes borderline threshold voxels by a ulp)
@@ -208,6 +233,15 @@ def run_chunked_inference(
             pred_semantic=pred_semantic, train=False,
         )
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        extract_jit = jax.jit(
+            extract,
+            out_shardings=NamedSharding(mesh, P("data")),
+        )
+    else:
+        extract_jit = jax.jit(extract)
 
     def update(acc, occ_l, sdf_p, color_p, sem_p, pos, real):
         occ_l = occ_l[..., 0]
@@ -312,9 +346,8 @@ def run_chunked_inference(
         rep = NamedSharding(mesh, P())
         acc = {k: jax.device_put(v, rep) for k, v in acc.items()}
 
-    for start in range(0, len(chunks), window_batch):
-        cb = jnp.asarray(chunks[start : start + window_batch])
-        mb = jnp.asarray(masks[start : start + window_batch])
+    for bidx in range(n_batches):
+        start = bidx * window_batch
         pos = np.zeros((window_batch, 2), np.int32)
         real = np.zeros((window_batch,), bool)
         for bi in range(min(window_batch, n_win - start)):
@@ -323,10 +356,9 @@ def run_chunked_inference(
         pos = jnp.asarray(pos)
         real_j = jnp.asarray(real)
         if put is not None:
-            cb = put(cb)
-            mb = put(mb)
             pos = put(pos)
             real_j = put(real_j)
+        cb, mb = extract_jit(pos)
         occ_l, sdf_p, color_p, sem_p = fwd(cb, mb)
         zero = jnp.zeros((), jnp.float32)
         acc = update_jit(
