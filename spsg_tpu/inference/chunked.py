@@ -44,54 +44,6 @@ def window_positions(scene_dims_yx, chunk_yx, stride) -> np.ndarray:
     return np.array([(y, x) for y in ys for x in xs], dtype=np.int32)
 
 
-def extract_window(
-    inputs: np.ndarray,  # (Z, Y, X, C) scene input (sdf + colors)
-    mask: np.ndarray,  # (Z, Y, X, 1)
-    y: int,
-    x: int,
-    chunk_dims: Tuple[int, int, int],
-    truncation: float,
-):
-    """Copy one window into fixed-size buffers with the reference fill values
-    (test_scene_as_chunks.py:166-180): sdf -> -truncation, colors/mask -> 0."""
-    cz, cy, cx = chunk_dims
-    out = np.zeros(chunk_dims + (inputs.shape[-1],), np.float32)
-    out[..., 0] = -truncation
-    m = np.zeros(chunk_dims + (1,), np.float32)
-    fz = min(inputs.shape[0], cz)
-    fy = min(inputs.shape[1] - y, cy)
-    fx = min(inputs.shape[2] - x, cx)
-    out[:fz, :fy, :fx] = inputs[:cz, y : y + cy, x : x + cx]
-    m[:fz, :fy, :fx] = mask[:cz, y : y + cy, x : x + cx]
-    return out, m
-
-
-def interior_mask(
-    y: int, x: int, chunk_dims, scene_dims, stride: int, pad: int
-) -> np.ndarray:
-    """Window-interior mask dropping `pad` voxels on stitched sides
-    (test_scene_as_chunks.py:216-236)."""
-    cz, cy, cx = chunk_dims
-    mask = np.ones(chunk_dims, bool)
-    if stride < cy:
-        if y > 0:
-            mask[:, :pad, :] = False
-        if x > 0:
-            mask[:, :, :pad] = False
-        if y + cy < scene_dims[1]:
-            mask[:, cy - pad :, :] = False
-        if x + cx < scene_dims[2]:
-            mask[:, :, cx - pad :] = False
-    # clip to scene bounds
-    fz = min(scene_dims[0], cz)
-    fy = min(scene_dims[1] - y, cy)
-    fx = min(scene_dims[2] - x, cx)
-    mask[fz:, :, :] = False
-    mask[:, fy:, :] = False
-    mask[:, :, fx:] = False
-    return mask
-
-
 def run_chunked_inference(
     generator,
     variables,
