@@ -12,21 +12,35 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 import time
 
 import numpy as np
 
+# allow running as `python tools/profile_tpu.py` from anywhere (PYTHONPATH
+# must stay unset — it breaks the axon PJRT plugin registration)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def timed(name, fn, fresh_args, n=10):
+    """Time fn via a scalar checksum: summing every output leaf on device
+    keeps the whole computation live (no DCE) while the host transfer is 4
+    bytes — transferring a real output leaf through the axon relay costs
+    hundreds of ms for MB-sized arrays and swamps the op being measured."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*fresh_args())
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    probe = jax.jit(
+        lambda *a: sum(
+            jnp.sum(x.astype(jnp.float32))
+            for x in jax.tree_util.tree_leaves(fn(*a))
+        )
+    )
+    _ = np.asarray(probe(*fresh_args()))
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*fresh_args())
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+        _ = np.asarray(probe(*fresh_args()))
     dt = (time.perf_counter() - t0) / n
     print(f"{name}: {dt * 1000:.1f} ms")
     return dt
