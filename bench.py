@@ -100,6 +100,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         max_depth_fill_iters=0,  # synthetic frames are hole-free
         compute_dtype="bfloat16" if bf16 else None,
         remat=remat,
+        fuse_raycast=not getattr(args, "unfuse", False),
     )
     print(f"[bench] building synthetic batch (dims={dims}, B={batch_size})", file=sys.stderr)
     batch = synthetic.make_chunk_batch(
@@ -155,6 +156,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
             "batch_size": batch_size,
             "bf16": bool(bf16),
             "remat": bool(remat),
+            "fused_raycast": not getattr(args, "unfuse", False),
             "mode": args.mode,
             "device": str(jax.devices()[0]),
             "loss": float(metrics["loss"]),
@@ -229,6 +231,8 @@ def main():
                    "for CPU smoke tests only")
     p.add_argument("--sweep", action="store_true",
                    help="batch-scaling sweep; reports the best config")
+    p.add_argument("--unfuse", action="store_true",
+                   help="three separate raycast marches instead of one stacked")
     args = p.parse_args()
 
     try:

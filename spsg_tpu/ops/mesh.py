@@ -2,10 +2,15 @@
 marching-cubes extension, torch/utils/marching_cubes/, and its plyfile-based
 I/O, data_util.py:301-327).
 
-``marching_cubes`` extracts the TSDF isosurface via a native C++ marching-
-tetrahedra extractor (built on first use with g++; table-free, watertight,
-welded vertices, trilinear per-vertex colors) with a pure-numpy fallback. PLY
-(binary little-endian) and OBJ writers are self-contained."""
+``marching_cubes`` extracts the TSDF isosurface via a native C++ extractor
+(built on first use with g++; welded vertices, trilinear per-vertex colors)
+with a pure-numpy fallback. Two topologies: ``method="mc"`` (default) is
+classic marching cubes — vertices only on cube edges, the reference's vertex
+set (marching_cubes.cpp:156-581), realized table-free by per-cube polygon
+tracing with the asymptotic decider on ambiguous faces (crack-free by
+construction); ``method="tet"`` is marching tetrahedra (watertight, extra
+diagonal vertices). PLY (binary little-endian) and OBJ writers are
+self-contained."""
 
 from __future__ import annotations
 
@@ -53,6 +58,7 @@ def _build_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.c_float,
             ctypes.c_float,
+            ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
@@ -73,13 +79,15 @@ def marching_cubes(
     colors: Optional[np.ndarray] = None,
     isovalue: float = 0.0,
     truncation: float = 3.0,
+    method: str = "mc",
 ) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]:
     """Extract the isosurface of a dense (Z, Y, X) TSDF.
 
     Returns (verts (N,3) float32 in xyz grid coords, colors (N,3) uint8 or
     None, faces (M,3) int64). Cubes touching unobserved (non-finite or
     |sdf| >= truncation) voxels are skipped (reference marching_cubes.cpp
-    weight rule :72-105)."""
+    weight rule :72-105). ``method``: "mc" = classic marching-cubes topology
+    (reference-comparable vertex set), "tet" = marching tetrahedra."""
     sdf = np.ascontiguousarray(np.asarray(sdf, np.float32))
     dimz, dimy, dimx = sdf.shape
     cptr = None
@@ -103,6 +111,7 @@ def marching_cubes(
             dimx,
             isovalue,
             truncation,
+            {"mc": 0, "tet": 1}[method],
             ctypes.byref(vp),
             ctypes.byref(cp),
             ctypes.byref(fp),

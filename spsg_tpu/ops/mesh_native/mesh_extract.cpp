@@ -1,13 +1,22 @@
 // Native isosurface extraction from dense TSDF grids (host-side C++).
 //
 // TPU-native replacement for the reference's marching-cubes extension
-// (torch/utils/marching_cubes/marching_cubes.cpp): same capability — mesh a
-// truncated SDF at an isovalue with per-vertex trilinearly-interpolated
-// colors, welded vertices and a validity rule (all 8 cube corners must be
-// within truncation, i.e. observed) — but implemented from scratch via
-// *marching tetrahedra* (6 tetrahedra per cube), which needs no 256-case
-// tables, is watertight, and welds vertices exactly by construction via
-// edge-keyed deduplication.
+// (torch/utils/marching_cubes/marching_cubes.cpp): mesh a truncated SDF at an
+// isovalue with per-vertex trilinearly-interpolated colors, welded vertices
+// and a validity rule (all 8 cube corners must be within truncation, i.e.
+// observed). Two from-scratch extractors share the vertex welding machinery:
+//
+//  * method 0 (default): *classic marching cubes* topology — vertices lie
+//    only on cube edges (the reference's vertex set) — implemented without
+//    the 256-case tables by tracing the isosurface polygon through each
+//    cube: crossing edges are paired per face (faces with four crossings are
+//    resolved with the asymptotic decider of the bilinear face field, which
+//    both adjacent cubes compute identically, so the mesh is crack-free by
+//    construction — strictly better than fixed-table ambiguity handling),
+//    cycles are fan-triangulated, and winding is oriented along the trilinear
+//    field gradient (normals point toward positive SDF = empty space).
+//  * method 1: *marching tetrahedra* (6 tets per cube) — table-free and
+//    watertight, but introduces extra vertices on face/body diagonals.
 //
 // Grid layout: z-major (z, y, x), matching the on-disk formats; vertices are
 // emitted in (x, y, z) order like the reference PLY output.
@@ -174,6 +183,157 @@ struct MeshBuilder {
       }
     }
   }
+  // ---- classic marching cubes (method 0) ----------------------------------
+  //
+  // Cube corner ids: bit0 = x, bit1 = y, bit2 = z. The 12 cube edges and the
+  // 6 faces (4 corners in cyclic order, outward-consistent) are fixed local
+  // topology; everything else is computed from the corner values.
+
+  void march_cube_classic(int64_t x, int64_t y, int64_t z, const float v[8]) {
+    static const int kEdges[12][2] = {
+        {0, 1}, {2, 3}, {4, 5}, {6, 7},  // x-aligned
+        {0, 2}, {1, 3}, {4, 6}, {5, 7},  // y-aligned
+        {0, 4}, {1, 5}, {2, 6}, {3, 7},  // z-aligned
+    };
+    static const int kFaces[6][4] = {
+        {0, 2, 6, 4},  // x = 0
+        {1, 3, 7, 5},  // x = 1
+        {0, 1, 5, 4},  // y = 0
+        {2, 3, 7, 6},  // y = 1
+        {0, 1, 3, 2},  // z = 0
+        {4, 5, 7, 6},  // z = 1
+    };
+    // edge id from a corner pair
+    auto edge_of = [&](int a, int b) {
+      if (a > b) std::swap(a, b);
+      for (int e = 0; e < 12; ++e)
+        if (kEdges[e][0] == a && kEdges[e][1] == b) return e;
+      return -1;
+    };
+
+    float g[8];
+    bool inside[8];
+    int code = 0;
+    for (int c = 0; c < 8; ++c) {
+      g[c] = v[c] - isovalue;
+      inside[c] = g[c] < 0.f;
+      if (inside[c]) code |= (1 << c);
+    }
+    if (code == 0 || code == 255) return;
+
+    bool crossing[12];
+    for (int e = 0; e < 12; ++e)
+      crossing[e] = inside[kEdges[e][0]] != inside[kEdges[e][1]];
+
+    // per-edge neighbor slots (each crossing edge gets exactly two partners,
+    // one per adjacent face)
+    int nbr[12][2];
+    int nnbr[12] = {0};
+    auto link = [&](int ea, int eb) {
+      nbr[ea][nnbr[ea]++] = eb;
+      nbr[eb][nnbr[eb]++] = ea;
+    };
+    for (int f = 0; f < 6; ++f) {
+      const int* q = kFaces[f];
+      int fe[4], nfe = 0;  // crossing edges of this face in cyclic order
+      int first_corner = -1;
+      for (int k = 0; k < 4; ++k) {
+        int e = edge_of(q[k], q[(k + 1) & 3]);
+        if (crossing[e]) {
+          if (nfe == 0) first_corner = k;
+          fe[nfe++] = e;
+        }
+      }
+      if (nfe == 2) {
+        link(fe[0], fe[1]);
+      } else if (nfe == 4) {
+        // corners alternate sign; asymptotic decider of the bilinear field
+        // g(s,t) on the face decides which diagonal pair connects through the
+        // face center: center value = (g0*g2 - g1*g3) / (g0 + g2 - g1 - g3)
+        float g0 = g[q[0]], g1 = g[q[1]], g2 = g[q[2]], g3 = g[q[3]];
+        float denom = g0 + g2 - g1 - g3;
+        float center = denom != 0.f ? (g0 * g2 - g1 * g3) / denom : 0.f;
+        bool center_with_q0 = (center < 0.f) == inside[q[0]];
+        // cyclic edges: fe in order E0=(q0,q1), E1=(q1,q2), E2=(q2,q3),
+        // E3=(q3,q0) (nfe==4 implies every edge crosses, so order holds)
+        (void)first_corner;
+        if (center_with_q0) {
+          // q0's region runs diagonally through the center; the surface
+          // wraps around q1 and q3
+          link(fe[0], fe[1]);  // around q1
+          link(fe[2], fe[3]);  // around q3
+        } else {
+          link(fe[3], fe[0]);  // around q0
+          link(fe[1], fe[2]);  // around q2
+        }
+      }
+    }
+
+    // trace cycles -> polygons -> fan triangles
+    auto vert_of_edge = [&](int e) {
+      int a = kEdges[e][0], b = kEdges[e][1];
+      return edge_vert(x + corner_dx(a), y + corner_dy(a), z + corner_dz(a), v[a],
+                       x + corner_dx(b), y + corner_dy(b), z + corner_dz(b), v[b]);
+    };
+    bool used[12] = {false};
+    for (int e0 = 0; e0 < 12; ++e0) {
+      if (!crossing[e0] || used[e0]) continue;
+      int poly_edges[12], np = 0;
+      int cur = e0, prev = -1;
+      do {
+        used[cur] = true;
+        poly_edges[np++] = cur;
+        int nxt = (nbr[cur][0] == prev) ? nbr[cur][1] : nbr[cur][0];
+        prev = cur;
+        cur = nxt;
+      } while (cur != e0 && np < 12);
+      if (np < 3) continue;
+
+      // polygon vertex positions (local cube coords) for orientation
+      float px[12], py[12], pz[12];
+      for (int i = 0; i < np; ++i) {
+        int e = poly_edges[i];
+        int a = kEdges[e][0], b = kEdges[e][1];
+        float va = v[a], vb = v[b];
+        float denom = va - vb;
+        float t = std::fabs(denom) < 1e-12f ? 0.5f : (va - isovalue) / denom;
+        if (t < 0.f) t = 0.f;
+        if (t > 1.f) t = 1.f;
+        px[i] = corner_dx(a) + t * (corner_dx(b) - corner_dx(a));
+        py[i] = corner_dy(a) + t * (corner_dy(b) - corner_dy(a));
+        pz[i] = corner_dz(a) + t * (corner_dz(b) - corner_dz(a));
+      }
+      // Newell normal of the traced order
+      float nx = 0, ny = 0, nz = 0, cx = 0, cy = 0, cz = 0;
+      for (int i = 0; i < np; ++i) {
+        int j = (i + 1) % np;
+        nx += (py[i] - py[j]) * (pz[i] + pz[j]);
+        ny += (pz[i] - pz[j]) * (px[i] + px[j]);
+        nz += (px[i] - px[j]) * (py[i] + py[j]);
+        cx += px[i]; cy += py[i]; cz += pz[i];
+      }
+      cx /= np; cy /= np; cz /= np;
+      // gradient of the trilinear field at the centroid
+      float gx = 0, gy = 0, gz = 0;
+      for (int c = 0; c < 8; ++c) {
+        float wx = corner_dx(c) ? cx : 1.f - cx;
+        float wy = corner_dy(c) ? cy : 1.f - cy;
+        float wz = corner_dz(c) ? cz : 1.f - cz;
+        float sx = corner_dx(c) ? 1.f : -1.f;
+        float sy = corner_dy(c) ? 1.f : -1.f;
+        float sz = corner_dz(c) ? 1.f : -1.f;
+        gx += sx * wy * wz * g[c];
+        gy += sy * wx * wz * g[c];
+        gz += sz * wx * wy * g[c];
+      }
+      bool flip = (nx * gx + ny * gy + nz * gz) < 0.f;
+
+      int64_t ids[12];
+      for (int i = 0; i < np; ++i)
+        ids[i] = vert_of_edge(poly_edges[flip ? np - 1 - i : i]);
+      for (int i = 1; i + 1 < np; ++i) emit_tri(ids[0], ids[i], ids[i + 1]);
+    }
+  }
 };
 
 }  // namespace
@@ -181,9 +341,10 @@ struct MeshBuilder {
 extern "C" {
 
 // Returns 0 on success. Caller frees out_* with spsg_mesh_free.
+// method: 0 = classic marching cubes topology, 1 = marching tetrahedra.
 int spsg_extract_isosurface(
     const float* sdf, const uint8_t* colors, int64_t dimz, int64_t dimy,
-    int64_t dimx, float isovalue, float truncation,
+    int64_t dimx, float isovalue, float truncation, int method,
     float** out_verts, uint8_t** out_colors, int64_t** out_faces,
     int64_t* n_verts, int64_t* n_faces) {
   MeshBuilder mb;
@@ -213,6 +374,10 @@ int spsg_extract_isosurface(
           v[c] = s;
         }
         if (!valid) continue;
+        if (method == 0) {
+          mb.march_cube_classic(x, y, z, v);
+          continue;
+        }
         for (int t = 0; t < 6; ++t) {
           int64_t cx[4], cy[4], cz[4];
           float tv[4];

@@ -18,15 +18,16 @@ def sdf_gradient(sdf: jax.Array) -> jax.Array:
     in (x, y, z) component order (reference compute_normals_dense,
     loss.py:261-267). Boundary voxels are zero (the reference pads them with
     -inf and later zeroes them, loss.py:272-275)."""
-    B, Z, Y, X = sdf.shape
-    g = jnp.zeros((B, Z, Y, X, 3), sdf.dtype)
-    gx = sdf[:, :, :, 2:] - sdf[:, :, :, :-2]
-    gy = sdf[:, :, 2:, :] - sdf[:, :, :-2, :]
-    gz = sdf[:, 2:, :, :] - sdf[:, :-2, :, :]
-    g = g.at[:, 1:-1, 1:-1, 1:-1, 0].set(gx[:, 1:-1, 1:-1, :])
-    g = g.at[:, 1:-1, 1:-1, 1:-1, 1].set(gy[:, 1:-1, :, 1:-1])
-    g = g.at[:, 1:-1, 1:-1, 1:-1, 2].set(gz[:, :, 1:-1, 1:-1])
-    return g
+    # interior central differences, zero-padded back to full shape: pads and
+    # slices stay elementwise-fused on TPU, whereas .at[interior].set() lowers
+    # to a real scatter (measured 425 ms for B2 at 128x64x64 — vs ~2 ms here)
+    pad = ((0, 0), (1, 1), (1, 1), (1, 1))
+    gx = sdf[:, 1:-1, 1:-1, 2:] - sdf[:, 1:-1, 1:-1, :-2]
+    gy = sdf[:, 1:-1, 2:, 1:-1] - sdf[:, 1:-1, :-2, 1:-1]
+    gz = sdf[:, 2:, 1:-1, 1:-1] - sdf[:, :-2, 1:-1, 1:-1]
+    return jnp.stack(
+        [jnp.pad(gx, pad), jnp.pad(gy, pad), jnp.pad(gz, pad)], axis=-1
+    )
 
 
 def surface_normals(

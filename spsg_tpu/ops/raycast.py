@@ -73,8 +73,8 @@ class RaycastConfig:
     # to SKIP_HORIZON provably-empty samples for the cost of a single row.
     coarse_skip: bool = True
     coarse_block: int = 8  # voxels per coarse block edge
-    coarse_hops: int = 2  # skip hops per march iteration (sequential gathers)
-    march_block: int = 16  # fine trilerp samples evaluated per iteration
+    coarse_hops: int = 4  # skip hops per march iteration (sequential gathers)
+    march_block: int = 32  # fine trilerp samples evaluated per iteration
 
 
 class RaycastOutput(NamedTuple):

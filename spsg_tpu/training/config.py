@@ -75,6 +75,12 @@ class TrainConfig:
     # tpu
     compute_dtype: Optional[str] = None  # 'bfloat16' to run convs on the MXU in bf16
     remat: bool = False  # rematerialize generator activations (bigger batches)
+    # one stacked march for input/target/pred vs three separate marches:
+    # outputs are identical; the stacked march issues 3x the gather rows per
+    # iteration (more memory-level parallelism in flight) but runs every grid
+    # to the slowest grid's trip count — which is faster is a measurement
+    # question (bench.py compares; see docs/DESIGN.md §5)
+    fuse_raycast: bool = True
 
     def __post_init__(self):
         assert self.disc_loss_type in GAN_TYPES

@@ -327,28 +327,53 @@ class Trainer:
         n_stack = 3 if cfg.project_targets else 2
         stack = lambda *xs: jnp.concatenate(xs, axis=0)
         sg = jax.lax.stop_gradient
-        if cfg.project_targets:
-            s_sdf = stack(sg(input_sdf), sg(target_sdf), pred_sdf_g)
-            s_valid = stack(input_valid, tgt_valid, surface_pred)
-            s_color = stack(sg(input_colors01), sg(tgt_colors01), color01)
-            s_norm = stack(sg(input_normals), tgt_normals, pred_normals)
-            s_sem = stack(jnp.zeros_like(sem_onehot), sg(sem_onehot), semantic_grid)
+        if cfg.fuse_raycast:
+            if cfg.project_targets:
+                s_sdf = stack(sg(input_sdf), sg(target_sdf), pred_sdf_g)
+                s_valid = stack(input_valid, tgt_valid, surface_pred)
+                s_color = stack(sg(input_colors01), sg(tgt_colors01), color01)
+                s_norm = stack(sg(input_normals), tgt_normals, pred_normals)
+                s_sem = stack(jnp.zeros_like(sem_onehot), sg(sem_onehot), semantic_grid)
+            else:
+                s_sdf = stack(sg(input_sdf), pred_sdf_g)
+                s_valid = stack(input_valid, surface_pred)
+                s_color = stack(sg(input_colors01), color01)
+                s_norm = stack(sg(input_normals), pred_normals)
+                s_sem = stack(jnp.zeros_like(semantic_grid), semantic_grid)
+            s_view = jnp.concatenate([view] * n_stack, axis=0)
+            s_intr = jnp.concatenate([intr] * n_stack, axis=0)
+            rc_all = raycast(s_sdf, s_valid, s_color, s_norm, s_sem, s_view, s_intr, rc)
+            rc_in = jax.tree_util.tree_map(lambda a: sg(a[:B]), rc_all)
+            if cfg.project_targets:
+                rc_tgt = jax.tree_util.tree_map(lambda a: sg(a[B : 2 * B]), rc_all)
+                rc_pred = jax.tree_util.tree_map(lambda a: a[2 * B :], rc_all)
+            else:
+                rc_tgt = None
+                rc_pred = jax.tree_util.tree_map(lambda a: a[B:], rc_all)
         else:
-            s_sdf = stack(sg(input_sdf), pred_sdf_g)
-            s_valid = stack(input_valid, surface_pred)
-            s_color = stack(sg(input_colors01), color01)
-            s_norm = stack(sg(input_normals), pred_normals)
-            s_sem = stack(jnp.zeros_like(semantic_grid), semantic_grid)
-        s_view = jnp.concatenate([view] * n_stack, axis=0)
-        s_intr = jnp.concatenate([intr] * n_stack, axis=0)
-        rc_all = raycast(s_sdf, s_valid, s_color, s_norm, s_sem, s_view, s_intr, rc)
-        rc_in = jax.tree_util.tree_map(lambda a: sg(a[:B]), rc_all)
-        if cfg.project_targets:
-            rc_tgt = jax.tree_util.tree_map(lambda a: sg(a[B : 2 * B]), rc_all)
-            rc_pred = jax.tree_util.tree_map(lambda a: a[2 * B :], rc_all)
-        else:
+            # three separate marches (reference structure, train.py:563,590,626):
+            # each grid's while_loop exits at its own trip count
+            rc_in = jax.tree_util.tree_map(
+                sg,
+                raycast(
+                    sg(input_sdf), input_valid, sg(input_colors01),
+                    sg(input_normals), jnp.zeros_like(semantic_grid),
+                    view, intr, rc,
+                ),
+            )
             rc_tgt = None
-            rc_pred = jax.tree_util.tree_map(lambda a: a[B:], rc_all)
+            if cfg.project_targets:
+                rc_tgt = jax.tree_util.tree_map(
+                    sg,
+                    raycast(
+                        sg(target_sdf), tgt_valid, sg(tgt_colors01),
+                        tgt_normals, sg(sem_onehot), view, intr, rc,
+                    ),
+                )
+            rc_pred = raycast(
+                pred_sdf_g, surface_pred, color01, pred_normals,
+                semantic_grid, view, intr, rc,
+            )
 
         normals_in = _sanitize(rc_in.normal)
         if flags.pred_color:

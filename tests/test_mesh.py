@@ -48,6 +48,50 @@ def test_marching_cubes_watertight_skip_unobserved():
     assert verts[:, 0].min() >= 7.0  # x < 8 region skipped
 
 
+def test_marching_cubes_classic_topology():
+    """Default method="mc" has the reference's vertex set (on cube edges
+    only), is watertight on a closed surface, and winds outward."""
+    from collections import Counter
+
+    sdf = _sphere_sdf()
+    verts, _, faces = mesh.marching_cubes(sdf, truncation=3.0, method="mc")
+    # every vertex lies on a cube edge: >= 2 integral coordinates
+    fract = np.abs(verts - np.round(verts))
+    assert ((fract < 1e-5).sum(1) >= 2).all()
+    # closed surface: every undirected edge shared by exactly 2 faces
+    cnt = Counter()
+    for a, b, c in faces:
+        for e in ((a, b), (b, c), (c, a)):
+            cnt[tuple(sorted(e))] += 1
+    assert set(cnt.values()) == {2}
+    # Euler characteristic of a sphere
+    assert len(verts) - len(cnt) + len(faces) == 2
+    # consistent outward winding
+    n = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
+                 verts[faces[:, 2]] - verts[faces[:, 0]])
+    ctr = verts[faces].mean(1) - 16.0
+    assert ((n * ctr).sum(1) > 0).all()
+    # tet method still available, denser vertex set
+    v2, _, f2 = mesh.marching_cubes(sdf, truncation=3.0, method="tet")
+    assert len(v2) > len(verts)
+
+
+def test_marching_cubes_classic_manifold_on_noise():
+    """Ambiguous faces (asymptotic decider) never produce non-manifold edges
+    or cracks, even on random fields with unobserved holes."""
+    from collections import Counter
+
+    rng = np.random.RandomState(3)
+    sdf = np.clip(rng.randn(10, 11, 12).astype(np.float32) * 2.0, -3, 3)
+    sdf[rng.rand(*sdf.shape) < 0.2] = np.inf
+    verts, _, faces = mesh.marching_cubes(sdf, truncation=3.0, method="mc")
+    cnt = Counter()
+    for a, b, c in faces:
+        for e in ((a, b), (b, c), (c, a)):
+            cnt[tuple(sorted(e))] += 1
+    assert max(cnt.values()) <= 2  # open boundaries allowed, cracks not
+
+
 def test_ply_roundtrip(tmp_path):
     sdf = _sphere_sdf()
     colors = np.full(sdf.shape + (3,), 128, np.uint8)

@@ -92,6 +92,24 @@ def test_semantic_step():
     assert np.isfinite(float(metrics["loss_semantic"]))
 
 
+def test_unfused_raycast_step_matches_fused():
+    """fuse_raycast only changes march scheduling (one stacked while_loop vs
+    three), never results: every metric must match to float tolerance."""
+    gen_key, step_key = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+    flags = StepFlags(
+        pred_sdf=True, pred_color=True, pred_semantic=True, use_2d=True, use_disc=True
+    )
+    metrics = {}
+    for fused in (True, False):
+        cfg = _tiny_cfg(fuse_raycast=fused)
+        gen_state, disc_state = init_states(cfg, gen_key)
+        batch = _batch(cfg, with_frames=True)
+        _, _, m = Trainer(cfg).step(gen_state, disc_state, batch, step_key, flags)
+        metrics[fused] = {k: float(v) for k, v in m.items() if np.ndim(v) == 0}
+    for k, v in metrics[True].items():
+        np.testing.assert_allclose(v, metrics[False][k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_full_2d_gan_step():
     """Full path: 3 raycasts, depth/color losses, disc update + adversarial
     generator loss (reference train.py:524-757)."""
