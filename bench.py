@@ -65,6 +65,7 @@ def bench_scene(args):
     out = chunked.run_chunked_inference(
         gen, variables, sample["input"], sample["mask"], None, None, None, **kwargs
     )
+    np.asarray(out.sdf)  # host-transfer fence (block_until_ready is unreliable here)
     dt = time.perf_counter() - t0
     n_vox = int(np.prod(out.sdf.shape))
     result = {
@@ -101,6 +102,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         compute_dtype="bfloat16" if bf16 else None,
         remat=remat,
         fuse_raycast=not getattr(args, "unfuse", False),
+        straggler_frac=getattr(args, "straggler", 0.0),
     )
     print(f"[bench] building synthetic batch (dims={dims}, B={batch_size})", file=sys.stderr)
     batch = synthetic.make_chunk_batch(
@@ -130,7 +132,10 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         gen_state, disc_state, metrics = trainer.step(
             gen_state, disc_state, batch, jax.random.PRNGKey(i), flags
         )
-    jax.block_until_ready(metrics["loss"])
+    # block_until_ready is NOT a reliable fence on the axon relay (CLAUDE.md);
+    # a host transfer is. Each step consumes the previous step's state, so
+    # transferring the final loss fences the whole chain.
+    float(np.asarray(metrics["loss"]))
 
     print(f"[bench] timing {args.steps} steps", file=sys.stderr)
     t0 = time.perf_counter()
@@ -138,7 +143,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         gen_state, disc_state, metrics = trainer.step(
             gen_state, disc_state, batch, jax.random.PRNGKey(100 + i), flags
         )
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     step_time = dt / args.steps
@@ -157,6 +162,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
             "bf16": bool(bf16),
             "remat": bool(remat),
             "fused_raycast": not getattr(args, "unfuse", False),
+            "straggler_frac": getattr(args, "straggler", 0.0),
             "mode": args.mode,
             "device": str(jax.devices()[0]),
             "loss": float(metrics["loss"]),
@@ -231,6 +237,8 @@ def main():
                    "for CPU smoke tests only")
     p.add_argument("--sweep", action="store_true",
                    help="batch-scaling sweep; reports the best config")
+    p.add_argument("--straggler", type=float, default=0.0,
+                   help="march straggler-compaction fraction (0 = off)")
     p.add_argument("--unfuse", action="store_true",
                    help="three separate raycast marches instead of one stacked")
     args = p.parse_args()

@@ -75,6 +75,17 @@ class RaycastConfig:
     coarse_block: int = 8  # voxels per coarse block edge
     coarse_hops: int = 4  # skip hops per march iteration (sequential gathers)
     march_block: int = 32  # fine trilerp samples evaluated per iteration
+    # Straggler compaction (0 = off): the lockstep march costs
+    # P x (trip count of the SLOWEST ray) — most rays hit early, then keep
+    # issuing (cheap but not free) constant-index gathers until the last
+    # grazing ray exits. When the number of still-marching rays drops to
+    # straggler_frac * P, the march exits, the survivors are compacted into a
+    # dense (B, frac*P) block (stable argsort on the alive flag — static
+    # shapes, order-preserving so gather locality survives) and marched to
+    # completion there; per-ray state scatters back afterwards. Sample
+    # positions come from the exact lattice expression, so results stay
+    # BIT-IDENTICAL to the uncompacted march.
+    straggler_frac: float = 0.0
 
 
 class RaycastOutput(NamedTuple):
@@ -370,18 +381,22 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
     dy = direction[..., 1]
     dz = direction[..., 2]
 
-    def sample(t):
-        """Trilerp at ray length t; t may be (B, P) or (B, P, K)."""
-        if t.ndim == 3:
-            px = ox[..., None] + t * dx[..., None]
-            py = oy[..., None] + t * dy[..., None]
-            pz = oz[..., None] + t * dz[..., None]
-        else:
-            px = ox + t * dx
-            py = oy + t * dy
-            pz = oz + t * dz
-        return _cell_trilerp(cells_flat, px, py, pz, dims)
+    def make_sample(dxq, dyq, dzq):
+        def sample(t):
+            """Trilerp at ray length t; t may be (B, Q) or (B, Q, K)."""
+            if t.ndim == 3:
+                px = ox[..., None] + t * dxq[..., None]
+                py = oy[..., None] + t * dyq[..., None]
+                pz = oz[..., None] + t * dzq[..., None]
+            else:
+                px = ox + t * dxq
+                py = oy + t * dyq
+                pz = oz + t * dzq
+            return _cell_trilerp(cells_flat, px, py, pz, dims)
 
+        return sample
+
+    sample = make_sample(dx, dy, dz)  # full-P: init sample + bisection
     step = cfg.ray_increment
     d0, _ = sample(t0)
     prev0 = d0
@@ -399,16 +414,81 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
         nb = (win.shape[1] - 2, win.shape[2] - 2, win.shape[3] - 2)
         win_flat = win.reshape(B, -1, 8)
         blockf = jnp.float32(cfg.coarse_block)
-        rays = (ox, oy, oz, dx, dy, dz)
 
-        def hop(k, prev, found):
-            """Jump the leading run of provably-invalid samples and reset
-            prev to NaN — exactly what evaluating them would have produced."""
-            dead = found | (t0 + k * step > t_stop)
-            skip_n = _skip_hop(
-                k, dead, rays, t0, t_stop, step, win_flat, nb, blockf, 0.0
+    offs = jnp.arange(F, dtype=jnp.float32)
+
+    def run_march(init, t0q, t_stopq, dxq, dyq, dzq, stop_alive_gt=None):
+        """March the (B, Q) ray set in ``init`` to completion — or, with
+        ``stop_alive_gt``, until at most that many rays per batch row are
+        still marching (the straggler-compaction exit). Per-ray results are
+        independent of how iterations were partitioned: every sample position
+        comes from the exact lattice expression t0 + k * step."""
+        sampleq = make_sample(dxq, dyq, dzq)
+        if cfg.coarse_skip:
+            raysq = (ox, oy, oz, dxq, dyq, dzq)
+
+            def hop(k, prev, found):
+                """Jump the leading run of provably-invalid samples and reset
+                prev to NaN — exactly what evaluating them would produce."""
+                dead = found | (t0q + k * step > t_stopq)
+                skip_n = _skip_hop(
+                    k, dead, raysq, t0q, t_stopq, step, win_flat, nb, blockf, 0.0
+                )
+                return k + skip_n, jnp.where(skip_n > 0, jnp.nan, prev)
+
+        def cond(c):
+            alive = ~c["found"] & (t0q + c["k"] * step <= t_stopq)
+            ok = (c["it"] < n_iter_max) & jnp.any(alive)
+            if stop_alive_gt is not None:
+                ok &= jnp.max(jnp.sum(alive, axis=1)) > stop_alive_gt
+            return ok
+
+        def body(c):
+            k = c["k"]
+            prev = c["prev"]
+            if cfg.coarse_skip:
+                for _ in range(cfg.coarse_hops):
+                    k, prev = hop(k, prev, c["found"])
+            t_base = t0q + k * step
+            # t from the exact integer sample index (k + offs is exact in
+            # f32): the same lattice sample yields the same float t no matter
+            # how the march partitioned iterations — keeps skip/plain/
+            # compacted variants bit-identical
+            treal = t0q[..., None] + (k[..., None] + offs) * step  # (B, Q, F)
+            in_range = treal <= t_stopq[..., None]
+            # finished/out-of-range rays sample a fixed position: the TPU
+            # gather unit is locality-sensitive, so constant indices are ~30%
+            # cheaper
+            dead = c["found"] | (t_base > t_stopq)
+            t = jnp.where(dead[..., None], t0q[..., None], treal)
+            v, _ = sampleq(t)  # NaN-coded trilerp values
+            vext = jnp.concatenate([prev[..., None], v], axis=-1)
+            prev_v = vext[..., :-1]
+            # NaN comparisons are False, so validity of both samples is implied
+            crossing = (
+                in_range
+                & (prev_v * v < 0)
+                & (jnp.abs(prev_v - v) < cfg.thresh_sample_dist)
+                & (jnp.abs(v) < cfg.thresh_sample_dist)
             )
-            return k + skip_n, jnp.where(skip_n > 0, jnp.nan, prev)
+            any_cross = jnp.any(crossing, axis=-1)
+            first = jnp.argmax(crossing, axis=-1)  # (B, Q)
+            t_hit = jnp.take_along_axis(treal, first[..., None], axis=-1)[..., 0]
+            record = any_cross & ~c["found"]
+            d_hit = jnp.take_along_axis(v, first[..., None], axis=-1)[..., 0]
+            d_prev = jnp.take_along_axis(prev_v, first[..., None], axis=-1)[..., 0]
+            return dict(
+                it=c["it"] + 1,
+                k=k + jnp.float32(F),
+                prev=v[..., -1],
+                found=c["found"] | record,
+                t_lo=jnp.where(record, t_hit - step, c["t_lo"]),
+                d_lo=jnp.where(record, d_prev, c["d_lo"]),
+                t_hi=jnp.where(record, t_hit, c["t_hi"]),
+                d_hi=jnp.where(record, d_hit, c["d_hi"]),
+            )
+
+        return jax.lax.while_loop(cond, body, init)
 
     init = dict(
         it=jnp.zeros((), jnp.int32),
@@ -421,56 +501,28 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
         d_hi=jnp.zeros((B, P), jnp.float32),
     )
 
-    offs = jnp.arange(F, dtype=jnp.float32)
-
-    def cond(c):
+    cap = int(P * cfg.straggler_frac)
+    if 0 < cap < P:
+        c = run_march(init, t0, t_stop, dx, dy, dz, stop_alive_gt=cap)
         alive = ~c["found"] & (t0 + c["k"] * step <= t_stop)
-        return (c["it"] < n_iter_max) & jnp.any(alive)
-
-    def body(c):
-        k = c["k"]
-        prev = c["prev"]
-        if cfg.coarse_skip:
-            for _ in range(cfg.coarse_hops):
-                k, prev = hop(k, prev, c["found"])
-        t_base = t0 + k * step
-        # t from the exact integer sample index (k + offs is exact in f32):
-        # the same lattice sample yields the same float t no matter how the
-        # march partitioned iterations — keeps skip/plain bit-identical
-        treal = t0[..., None] + (k[..., None] + offs) * step  # (B, P, F)
-        in_range = treal <= t_stop[..., None]
-        # finished/out-of-range rays sample a fixed position: the TPU gather
-        # unit is locality-sensitive, so constant indices are ~30% cheaper
-        dead = c["found"] | (t_base > t_stop)
-        t = jnp.where(dead[..., None], t0[..., None], treal)
-        v, _ = sample(t)  # NaN-coded trilerp values
-        vext = jnp.concatenate([prev[..., None], v], axis=-1)
-        prev_v = vext[..., :-1]
-        # NaN comparisons are False, so validity of both samples is implied
-        crossing = (
-            in_range
-            & (prev_v * v < 0)
-            & (jnp.abs(prev_v - v) < cfg.thresh_sample_dist)
-            & (jnp.abs(v) < cfg.thresh_sample_dist)
+        # alive-first stable order: every still-marching ray lands in the
+        # first `cap` slots (phase 1 guarantees <= cap alive per row), in
+        # original pixel order so gather locality is preserved
+        sel = jnp.argsort(~alive, axis=1, stable=True)[:, :cap]
+        take = lambda a: jnp.take_along_axis(a, sel, axis=1)
+        init2 = dict(
+            it=jnp.zeros((), jnp.int32),
+            **{key: take(c[key]) for key in ("k", "prev", "found", "t_lo", "d_lo", "t_hi", "d_hi")},
         )
-        any_cross = jnp.any(crossing, axis=-1)
-        first = jnp.argmax(crossing, axis=-1)  # (B, P)
-        t_hit = jnp.take_along_axis(treal, first[..., None], axis=-1)[..., 0]
-        record = any_cross & ~c["found"]
-        d_hit = jnp.take_along_axis(v, first[..., None], axis=-1)[..., 0]
-        d_prev = jnp.take_along_axis(prev_v, first[..., None], axis=-1)[..., 0]
-        return dict(
-            it=c["it"] + 1,
-            k=k + jnp.float32(F),
-            prev=v[..., -1],
-            found=c["found"] | record,
-            t_lo=jnp.where(record, t_hit - step, c["t_lo"]),
-            d_lo=jnp.where(record, d_prev, c["d_lo"]),
-            t_hi=jnp.where(record, t_hit, c["t_hi"]),
-            d_hi=jnp.where(record, d_hit, c["d_hi"]),
-        )
-
-    c = jax.lax.while_loop(cond, body, init)
+        c2 = run_march(init2, take(t0), take(t_stop), take(dx), take(dy), take(dz))
+        # scatter the stragglers' results back (sel indices are unique per
+        # row; padding slots were dead rays whose state did not change)
+        rows = jnp.arange(B)[:, None]
+        for key in ("found", "t_lo", "d_lo", "t_hi", "d_hi"):
+            c[key] = c[key].at[rows, sel].set(c2[key])
+        c["it"] = c["it"] + c2["it"]
+    else:
+        c = run_march(init, t0, t_stop, dx, dy, dz)
     found = c["found"]
 
     # bisection refinement (kernel findIntersectionBisection :166-187)
@@ -583,6 +635,47 @@ def _raycast_attrs_bwd(cfg, residuals, g):
 _raycast_attrs.defvjp(_raycast_attrs_fwd, _raycast_attrs_bwd)
 
 
+def shade_hits(
+    sdf: jax.Array,
+    color: Optional[jax.Array],
+    normal: Optional[jax.Array],
+    semantic: Optional[jax.Array],
+    hits: dict,
+    cfg: RaycastConfig,
+) -> RaycastOutput:
+    """Differentiable attribute pass: assemble output images from precomputed
+    surface hits (``find_surface_crossings``). Separated from the march so a
+    fused multi-grid march can shade each grid independently — grids whose
+    inputs are all stop-gradient then contribute NO backward scatter at all
+    (the march itself is always stop-grad, reference autograd boundary
+    raycast_rgbd.py:37-43)."""
+    B = sdf.shape[0]
+    dims = sdf.shape[1:4]
+    n = int(np.prod(dims))
+    zeros3 = jnp.zeros((B, n, 3), sdf.dtype)
+    color_flat = color.reshape(B, n, 3) if color is not None else zeros3
+    normal_flat = normal.reshape(B, n, 3) if normal is not None else zeros3
+    semantic_flat = (
+        semantic.reshape(B, n, NUM_CLASSES)
+        if semantic is not None
+        else jnp.zeros((B, n, NUM_CLASSES), sdf.dtype)
+    )
+    # the depth image's cotangent routes to the hit voxel's sdf value inside
+    # _raycast_attrs_bwd (reference backward: d_depth accumulates into
+    # vals_sdf, raycast_rgbd.py:42)
+    sdf_flat = sdf.reshape(B, n)
+    return _raycast_attrs(
+        sdf_flat,
+        color_flat,
+        normal_flat,
+        semantic_flat,
+        hits["hit"],
+        hits["hit_idx"],
+        hits["depth"],
+        cfg,
+    )
+
+
 def raycast(
     sdf: jax.Array,
     valid: jax.Array,
@@ -608,35 +701,10 @@ def raycast(
 
     Gradients flow to sdf (via depth), color, normal, semantic only.
     """
-    B = sdf.shape[0]
-    dims = sdf.shape[1:4]
-    n = int(np.prod(dims))
     hits = find_surface_crossings(
         jax.lax.stop_gradient(sdf), valid, view, intrinsics, cfg
     )
-    zeros3 = jnp.zeros((B, n, 3), sdf.dtype)
-    color_flat = color.reshape(B, n, 3) if color is not None else zeros3
-    normal_flat = normal.reshape(B, n, 3) if normal is not None else zeros3
-    semantic_flat = (
-        semantic.reshape(B, n, NUM_CLASSES)
-        if semantic is not None
-        else jnp.zeros((B, n, NUM_CLASSES), sdf.dtype)
-    )
-    # the depth image's cotangent routes to the hit voxel's sdf value inside
-    # _raycast_attrs_bwd (reference backward: d_depth accumulates into
-    # vals_sdf, raycast_rgbd.py:42)
-    sdf_flat = sdf.reshape(B, n)
-    out = _raycast_attrs(
-        sdf_flat,
-        color_flat,
-        normal_flat,
-        semantic_flat,
-        hits["hit"],
-        hits["hit_idx"],
-        hits["depth"],
-        cfg,
-    )
-    return out
+    return shade_hits(sdf, color, normal, semantic, hits, cfg)
 
 
 def raycast_occ(

@@ -75,6 +75,11 @@ class TrainConfig:
     # tpu
     compute_dtype: Optional[str] = None  # 'bfloat16' to run convs on the MXU in bf16
     remat: bool = False  # rematerialize generator activations (bigger batches)
+    # straggler compaction for the ray march (ops/raycast.py): when the
+    # still-marching ray count drops below this fraction of the pixels, the
+    # survivors continue in a compacted dense block — bit-identical results,
+    # cuts the lockstep tail. 0 disables.
+    straggler_frac: float = 0.0
     # one stacked march for input/target/pred vs three separate marches:
     # outputs are identical; the stacked march issues 3x the gather rows per
     # iteration (more memory-level parallelism in flight) but runs every grid

@@ -41,7 +41,7 @@ from ..losses import style as style_losses
 from ..losses import twod as twod_losses
 from ..ops import depth as depth_ops
 from ..ops import normals3d
-from ..ops.raycast import RaycastConfig, raycast
+from ..ops.raycast import RaycastConfig, find_surface_crossings, raycast, shade_hits
 from .config import StepFlags, TrainConfig
 from .state import (
     DiscState,
@@ -64,6 +64,7 @@ def _raycast_cfg(cfg: TrainConfig) -> RaycastConfig:
         depth_max=cfg.raycast_depth_max / cfg.voxelsize,
         ray_increment=cfg.ray_increment,
         thresh_sample_dist=cfg.thresh_sample_dist,
+        straggler_frac=cfg.straggler_frac,
     )
 
 
@@ -320,36 +321,56 @@ class Trainer:
             else jnp.full(pred_sdf_g.shape + (14,), 14.0, jnp.float32)
         )
 
-        # --- one fused raycast for input + projected-target + prediction ---
+        # --- one fused march for input + projected-target + prediction ---
         # (the reference launches three separate CUDA raycasts,
         # train.py:563,590,626; stacking them along the batch axis runs one
-        # march while_loop instead of three — the march dominates 2D cost)
+        # march while_loop instead of three — the march dominates 2D cost).
+        # Shading is per grid: the march is stop-grad anyway, and shading the
+        # input/target grids under stop_gradient means their backward scatter
+        # is never built — the VJP scatters only the prediction's B rows
+        # instead of all n_stack*B.
         n_stack = 3 if cfg.project_targets else 2
         stack = lambda *xs: jnp.concatenate(xs, axis=0)
         sg = jax.lax.stop_gradient
         if cfg.fuse_raycast:
             if cfg.project_targets:
-                s_sdf = stack(sg(input_sdf), sg(target_sdf), pred_sdf_g)
+                s_sdf = stack(sg(input_sdf), sg(target_sdf), sg(pred_sdf_g))
                 s_valid = stack(input_valid, tgt_valid, surface_pred)
-                s_color = stack(sg(input_colors01), sg(tgt_colors01), color01)
-                s_norm = stack(sg(input_normals), tgt_normals, pred_normals)
-                s_sem = stack(jnp.zeros_like(sem_onehot), sg(sem_onehot), semantic_grid)
             else:
-                s_sdf = stack(sg(input_sdf), pred_sdf_g)
+                s_sdf = stack(sg(input_sdf), sg(pred_sdf_g))
                 s_valid = stack(input_valid, surface_pred)
-                s_color = stack(sg(input_colors01), color01)
-                s_norm = stack(sg(input_normals), pred_normals)
-                s_sem = stack(jnp.zeros_like(semantic_grid), semantic_grid)
             s_view = jnp.concatenate([view] * n_stack, axis=0)
             s_intr = jnp.concatenate([intr] * n_stack, axis=0)
-            rc_all = raycast(s_sdf, s_valid, s_color, s_norm, s_sem, s_view, s_intr, rc)
-            rc_in = jax.tree_util.tree_map(lambda a: sg(a[:B]), rc_all)
+            hits_all = find_surface_crossings(s_sdf, s_valid, s_view, s_intr, rc)
+
+            def hits_slice(a, b):
+                return {
+                    k: (v[a:b] if k != "n_iters" else v) for k, v in hits_all.items()
+                }
+
+            rc_in = jax.tree_util.tree_map(
+                sg,
+                shade_hits(
+                    input_sdf, input_colors01, input_normals,
+                    jnp.zeros_like(sem_onehot) if cfg.project_targets
+                    else jnp.zeros_like(semantic_grid),
+                    hits_slice(0, B), rc,
+                ),
+            )
             if cfg.project_targets:
-                rc_tgt = jax.tree_util.tree_map(lambda a: sg(a[B : 2 * B]), rc_all)
-                rc_pred = jax.tree_util.tree_map(lambda a: a[2 * B :], rc_all)
+                rc_tgt = jax.tree_util.tree_map(
+                    sg,
+                    shade_hits(
+                        target_sdf, tgt_colors01, tgt_normals, sem_onehot,
+                        hits_slice(B, 2 * B), rc,
+                    ),
+                )
             else:
                 rc_tgt = None
-                rc_pred = jax.tree_util.tree_map(lambda a: a[B:], rc_all)
+            rc_pred = shade_hits(
+                pred_sdf_g, color01, pred_normals, semantic_grid,
+                hits_slice((n_stack - 1) * B, n_stack * B), rc,
+            )
         else:
             # three separate marches (reference structure, train.py:563,590,626):
             # each grid's while_loop exits at its own trip count

@@ -258,6 +258,37 @@ def test_coarse_skip_bit_identical(hops, fine, cb):
         np.testing.assert_array_equal(outs["skip"], outs["plain"])
 
 
+@pytest.mark.parametrize("frac", [0.05, 0.25])
+def test_straggler_compaction_bit_identical(frac):
+    """Straggler compaction only reschedules iterations (early lockstep exit
+    + compacted phase-2 march); every per-ray sample position comes from the
+    same lattice expression, so hit/depth/voxel outputs must match the
+    uncompacted march bitwise — with and without the coarse skip."""
+    import dataclasses
+
+    dims = (64, 64, 64)
+    sdf, valid = _blob_scene(dims, seed=5)
+    base = _cfg(depth_max=200.0)
+    for cam in (_down_camera(dims, 60.0), _oblique_camera(dims)):
+        view, intr = cam
+        for skip in (True, False):
+            outs = {}
+            for name, f in (("compact", frac), ("plain", 0.0)):
+                cfg = dataclasses.replace(
+                    base, coarse_skip=skip, straggler_frac=f
+                )
+                out = raycast.find_surface_crossings(
+                    jnp.asarray(sdf[None]), jnp.asarray(valid[None]),
+                    jnp.asarray(view[None]), jnp.asarray(intr[None]), cfg,
+                )
+                outs[name] = {k: np.asarray(v) for k, v in out.items() if k != "n_iters"}
+            assert outs["compact"]["hit"].sum() > 20  # scene actually hit
+            for k in outs["plain"]:
+                np.testing.assert_array_equal(
+                    outs["compact"][k], outs["plain"][k], err_msg=k
+                )
+
+
 def test_raycast_occ():
     dims = (48, 32, 32)
     occ = np.zeros(dims, dtype=np.uint8)

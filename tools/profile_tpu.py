@@ -201,6 +201,11 @@ def main():
                     hit = float(jnp.mean(o["hit"].astype(jnp.float32)))
                     dt = timed(f"march skip F={fine} hops={hops} cb={cb}", f, fresh_tgt)
                     print(f"  hit frac {hit:.4f}")
+        # straggler compaction on top of the default skip config
+        for frac in (0.03, 0.0625, 0.125, 0.25):
+            rcc = dataclasses.replace(rc0, straggler_frac=frac)
+            f = jax.jit(lambda s, r=rcc: rcm.find_surface_crossings(s, valid, view, intr, r))
+            timed(f"march skip+compact frac={frac}", f, fresh_tgt)
         return
 
     # components
