@@ -78,8 +78,10 @@ class TrainConfig:
     # straggler compaction for the ray march (ops/raycast.py): when the
     # still-marching ray count drops below this fraction of the pixels, the
     # survivors continue in a compacted dense block — bit-identical results,
-    # cuts the lockstep tail. 0 disables.
-    straggler_frac: float = 0.0
+    # cuts the lockstep tail. 0 disables. TPU v5e sweep on the full step:
+    # 0.0625 -> 0.984 s, 0.125 -> 0.910 s (best), 0.25 -> 0.936 s vs 1.073 s
+    # uncompacted (B=2 f32).
+    straggler_frac: float = 0.125
     # one stacked march for input/target/pred vs three separate marches:
     # outputs are identical; the stacked march issues 3x the gather rows per
     # iteration (more memory-level parallelism in flight) but runs every grid

@@ -139,6 +139,8 @@ def bench_pipeline(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--march", action="store_true", help="march sweep only")
+    p.add_argument("--compact", action="store_true",
+                   help="straggler-compaction march rows only")
     p.add_argument("--pipeline", action="store_true", help="host input-pipeline throughput only")
     p.add_argument("--with_frames", action="store_true",
                    help="pipeline probe includes RGB-D frame decode (2D-loss path)")
@@ -179,6 +181,16 @@ def main():
 
     def fresh_tgt():
         return (tgt0 + 0.0,)
+
+    if args.compact:
+        # straggler-compaction rows only (baseline = default skip config)
+        f = jax.jit(lambda s: rcm.find_surface_crossings(s, valid, view, intr, rc0))
+        timed("march skip (default)", f, fresh_tgt)
+        for frac in (0.03, 0.0625, 0.125, 0.25):
+            rcc = dataclasses.replace(rc0, straggler_frac=frac)
+            f = jax.jit(lambda s, r=rcc: rcm.find_surface_crossings(s, valid, view, intr, r))
+            timed(f"march skip+compact frac={frac}", f, fresh_tgt)
+        return
 
     if args.march:
         # plain march (no skipping) at a few fine-block sizes, then the
