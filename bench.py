@@ -102,7 +102,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         compute_dtype="bfloat16" if bf16 else None,
         remat=remat,
         fuse_raycast=not getattr(args, "unfuse", False),
-        straggler_frac=getattr(args, "straggler", 0.0),
+        **({"straggler_frac": args.straggler} if getattr(args, "straggler", None) is not None else {}),
     )
     print(f"[bench] building synthetic batch (dims={dims}, B={batch_size})", file=sys.stderr)
     batch = synthetic.make_chunk_batch(
@@ -162,7 +162,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
             "bf16": bool(bf16),
             "remat": bool(remat),
             "fused_raycast": not getattr(args, "unfuse", False),
-            "straggler_frac": getattr(args, "straggler", 0.0),
+            "straggler_frac": cfg.straggler_frac,
             "mode": args.mode,
             "device": str(jax.devices()[0]),
             "loss": float(metrics["loss"]),
@@ -237,8 +237,9 @@ def main():
                    "for CPU smoke tests only")
     p.add_argument("--sweep", action="store_true",
                    help="batch-scaling sweep; reports the best config")
-    p.add_argument("--straggler", type=float, default=0.0,
-                   help="march straggler-compaction fraction (0 = off)")
+    p.add_argument("--straggler", type=float, default=None,
+                   help="march straggler-compaction fraction override "
+                   "(default: TrainConfig default; 0 = off)")
     p.add_argument("--unfuse", action="store_true",
                    help="three separate raycast marches instead of one stacked")
     args = p.parse_args()

@@ -27,8 +27,10 @@ from ..data import category
 @dataclasses.dataclass
 class SceneOutputs:
     sdf: np.ndarray  # (Z, Y, X) stitched, -inf where no prediction
-    colors: Optional[np.ndarray]  # (Z, Y, X, 3) in [0, 255]
-    semantics: Optional[np.ndarray]  # (Z, Y, X, 14) accumulated logits
+    colors: Optional[np.ndarray]  # (Z, Y, X, 3) uint8 in [0, 255]
+    semantics: Optional[np.ndarray]  # (Z, Y, X) uint8 argmax labels (computed
+    # on device — transferring the (N, 14) float accumulator dominated
+    # whole-scene wall time on relay-attached TPUs)
     occ: np.ndarray  # (Z, Y, X) bool
     counts: np.ndarray  # (Z, Y, X) overlap counts
     geo_intersection: int
@@ -120,9 +122,10 @@ def run_chunked_inference(
     has_target = target_sdf is not None
     has_sem_target = has_target and target_semantics is not None and pred_semantic
 
-    tgt_flat = None
-    kn_flat = None
-    sm_flat = None
+    # placeholders keep the update signature static when there is no target
+    tgt_flat = jnp.zeros((), jnp.float32)
+    kn_flat = jnp.zeros((), bool)
+    sm_flat = jnp.zeros((), jnp.int32)
     if has_target:
         tgt_flat = jnp.asarray(np.ascontiguousarray(target_sdf[:Z]), jnp.float32).reshape(-1)
         kn_flat = (
@@ -161,16 +164,29 @@ def run_chunked_inference(
     )
     scene_in_dev = jnp.asarray(scene_in_pad)
     scene_mask_dev = jnp.asarray(scene_mask_pad)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def extract(pos):
+        rep = NamedSharding(mesh, P())
+        scene_in_dev = jax.device_put(scene_in_dev, rep)
+        scene_mask_dev = jax.device_put(scene_mask_dev, rep)
+        tgt_flat = jax.device_put(tgt_flat, rep)
+        kn_flat = jax.device_put(kn_flat, rep)
+        sm_flat = jax.device_put(sm_flat, rep)
+
+    # NB: the scene tensors are jit ARGUMENTS, not closure captures — a
+    # captured jax.Array is embedded in the lowered module as a constant,
+    # which a remote-compile transport may reject outright for scene-sized
+    # arrays (HTTP 413 on the axon relay).
+    def extract(scene_in, scene_mask, pos):
         def one(p):
             c = jax.lax.dynamic_slice(
-                scene_in_dev,
+                scene_in,
                 (0, p[0], p[1], 0),
-                (cz, cy, cx, scene_in_dev.shape[-1]),
+                (cz, cy, cx, scene_in.shape[-1]),
             )
             m = jax.lax.dynamic_slice(
-                scene_mask_dev, (0, p[0], p[1], 0), (cz, cy, cx, 1)
+                scene_mask, (0, p[0], p[1], 0), (cz, cy, cx, 1)
             )
             return c, m
 
@@ -180,8 +196,8 @@ def run_chunked_inference(
     # standalone generator.apply (fusing it into the stitching program
     # changes borderline threshold voxels by a ulp)
     fwd = jax.jit(
-        lambda c, m: generator.apply(
-            variables, c, m, pred_color=pred_color, pred_sdf=True,
+        lambda v, c, m: generator.apply(
+            v, c, m, pred_color=pred_color, pred_sdf=True,
             pred_semantic=pred_semantic, train=False,
         )
     )
@@ -195,7 +211,7 @@ def run_chunked_inference(
     else:
         extract_jit = jax.jit(extract)
 
-    def update(acc, occ_l, sdf_p, color_p, sem_p, pos, real):
+    def update(acc, occ_l, sdf_p, color_p, sem_p, pos, real, tgt_flat, kn_flat, sm_flat):
         occ_l = occ_l[..., 0]
         sdf_p = sdf_p[..., 0]
         occ = jax.nn.sigmoid(occ_l) > 0.5
@@ -310,40 +326,61 @@ def run_chunked_inference(
         if put is not None:
             pos = put(pos)
             real_j = put(real_j)
-        cb, mb = extract_jit(pos)
-        occ_l, sdf_p, color_p, sem_p = fwd(cb, mb)
+        cb, mb = extract_jit(scene_in_dev, scene_mask_dev, pos)
+        occ_l, sdf_p, color_p, sem_p = fwd(variables, cb, mb)
         zero = jnp.zeros((), jnp.float32)
         acc = update_jit(
             acc, occ_l, sdf_p,
             color_p if color_p is not None else zero,
             sem_p if sem_p is not None else zero,
-            pos, real_j,
+            pos, real_j, tgt_flat, kn_flat, sm_flat,
         )
 
-    acc = jax.device_get(acc)
-    counts = acc["counts"].reshape(scene_dims)
-    occ_out = acc["occ"].reshape(scene_dims).astype(bool)
-    geo_i = int(acc["geo_i"])
-    geo_u = int(acc["geo_u"])
-    cls_i = acc["cls_i"].astype(np.int64)
-    cls_u = acc["cls_u"].astype(np.int64)
-    cls_w = acc["cls_w"].astype(np.int64)
+    # normalize ON DEVICE (test_scene_as_chunks.py:270-280) and transfer the
+    # compact results: the raw accumulators are ~20x the final payload
+    # ((N, 14) float semantic sums alone dominate), and host transfer is the
+    # whole-scene bottleneck on a relay-attached TPU.
+    def finalize(acc):
+        counts = acc["counts"]
+        got = counts > 0
+        cf = jnp.maximum(counts.astype(jnp.float32), 1.0)
+        out = dict(
+            counts=counts.astype(jnp.uint16),  # overlaps <= (chunk/stride)^2
+            occ=acc["occ"].astype(bool),
+            geo_i=acc["geo_i"],
+            geo_u=acc["geo_u"],
+            cls_i=acc["cls_i"],
+            cls_u=acc["cls_u"],
+            cls_w=acc["cls_w"],
+            sdf=jnp.where(
+                got, jnp.clip(acc["sdf"] / cf, -truncation, truncation), -jnp.inf
+            ),
+        )
+        if pred_color:
+            # u8: the visualization path quantizes to u8 anyway, and the f32
+            # color grid dominated the remaining host transfer
+            out["color"] = jnp.round(
+                jnp.where(
+                    got[:, None],
+                    jnp.clip(acc["color"] / cf[:, None] * 255.0, 0.0, 255.0),
+                    0.0,
+                )
+            ).astype(jnp.uint8)
+        if pred_semantic:
+            out["sem_label"] = jnp.argmax(acc["sem"], axis=-1).astype(jnp.uint8)
+        return out
 
-    # normalize (test_scene_as_chunks.py:270-280)
-    got = counts > 0
-    sdf_out = np.full(scene_dims, -np.inf, np.float32)
-    acc_sdf = acc["sdf"].reshape(scene_dims)
-    sdf_out[got] = np.clip(acc_sdf[got] / counts[got], -truncation, truncation)
-    color_out = None
-    if pred_color:
-        acc_color = acc["color"].reshape(scene_dims + (3,))
-        color_out = np.zeros(scene_dims + (3,), np.float32)
-        color_out[got] = np.clip(acc_color[got] / counts[got][:, None] * 255.0, 0, 255)
-    sem_out = (
-        acc["sem"].reshape(scene_dims + (n_classes,)).astype(np.float32)
-        if pred_semantic
-        else None
-    )
+    fin = jax.device_get(jax.jit(finalize)(acc))
+    counts = fin["counts"].reshape(scene_dims)
+    occ_out = fin["occ"].reshape(scene_dims)
+    geo_i = int(fin["geo_i"])
+    geo_u = int(fin["geo_u"])
+    cls_i = fin["cls_i"].astype(np.int64)
+    cls_u = fin["cls_u"].astype(np.int64)
+    cls_w = fin["cls_w"].astype(np.int64)
+    sdf_out = fin["sdf"].reshape(scene_dims)
+    color_out = fin["color"].reshape(scene_dims + (3,)) if pred_color else None
+    sem_out = fin["sem_label"].reshape(scene_dims) if pred_semantic else None
 
     return SceneOutputs(
         sdf=sdf_out,

@@ -89,9 +89,11 @@ def feature_l1(img1: np.ndarray, img2: np.ndarray) -> float:
     model, params = _feature_extractor()
     a = jnp.asarray(img1, jnp.float32)[None]
     b = jnp.asarray(img2, jnp.float32)[None]
-    fn = jax.jit(lambda x: model.apply({"params": params}, x)[0])
-    fa = fn(a)
-    fb = fn(b)
+    # params as an argument (not a capture): captured arrays embed in the
+    # lowered module and can exceed remote-compile payload limits
+    fn = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
+    fa = fn(params, a)
+    fb = fn(params, b)
     return float(jnp.mean(jnp.abs(fa - fb)))
 
 
@@ -121,6 +123,6 @@ def image_features(images) -> np.ndarray:
     import jax.numpy as jnp
 
     model, params = _feature_extractor()
-    fn = jax.jit(lambda x: jnp.mean(model.apply({"params": params}, x)[0], axis=(1, 2)))
-    feats = [np.asarray(fn(jnp.asarray(im, jnp.float32)[None]))[0] for im in images]
+    fn = jax.jit(lambda p, x: jnp.mean(model.apply({"params": p}, x)[0], axis=(1, 2)))
+    feats = [np.asarray(fn(params, jnp.asarray(im, jnp.float32)[None]))[0] for im in images]
     return np.stack(feats)

@@ -68,13 +68,16 @@ def run_whole_scene(
         x = jax.device_put(x, sh)
         m = jax.device_put(m, sh)
 
+    # params as an ARGUMENT, not a closure capture: captured arrays embed in
+    # the lowered module as constants, which remote-compile transports may
+    # reject for size (see inference/chunked.py)
     fwd = jax.jit(
-        lambda a, b: generator.apply(
-            variables, a, b, pred_color=pred_color, pred_sdf=True,
+        lambda v, a, b: generator.apply(
+            v, a, b, pred_color=pred_color, pred_sdf=True,
             pred_semantic=pred_semantic, train=False,
         )
     )
-    occ_l, sdf, color, sem = fwd(x, m)
+    occ_l, sdf, color, sem = fwd(variables, x, m)
     return (
         np.asarray(occ_l)[0, ..., 0],
         np.asarray(sdf)[0, ..., 0],

@@ -96,7 +96,8 @@ class Trainer:
                 donate_argnums=(0, 1) if flags.train else (),
             )
             self._jitted[flags] = fn
-        return fn(gen_state, disc_state, batch, rng)
+        vgg_params = self.vgg[1] if self.vgg is not None else None
+        return fn(gen_state, disc_state, batch, rng, vgg_params)
 
     # -- internals ----------------------------------------------------------
 
@@ -135,7 +136,8 @@ class Trainer:
         out = self.discriminator.apply(variables, img, update_sn_stats=False)
         return out, spectral_stats
 
-    def _forward_losses(self, params, batch_stats, batch, flags: StepFlags):
+    def _forward_losses(self, params, batch_stats, batch, flags: StepFlags,
+                        vgg_params=None):
         """Everything except the adversarial generator term. Returns
         ((loss_rest, synth_for_disc), aux)."""
         cfg = self.cfg
@@ -198,7 +200,7 @@ class Trainer:
                 sw_real, sw_fake, wcd,
             ) = self._2d_losses(
                 batch, flags, target_sdf, input_occ, pred_sdf_g, pred_color, pred_sem,
-                surface_pred,
+                surface_pred, vgg_params=vgg_params,
             )
             loss = loss + loss2d
             metrics.update(metrics2d)
@@ -219,7 +221,7 @@ class Trainer:
 
     def _2d_losses(
         self, batch, flags, target_sdf, input_occ, pred_sdf_g, pred_color, pred_sem,
-        surface_pred,
+        surface_pred, vgg_params=None,
     ):
         """The 2D view-guided block (reference train.py:524-752), minus the
         adversarial terms which are handled outside."""
@@ -478,7 +480,10 @@ class Trainer:
                 # every non-missing render pixel (train.py:679-681,
                 # style.py:24-29)
                 style_pred = jnp.where(missing2d[..., None], style_pred, style_tgt)
-            vgg_model, vgg_params = self.vgg
+            # vgg_params arrives as a jit ARGUMENT (threaded through step()):
+            # capturing it from self.vgg would embed the weights as module
+            # constants, which remote-compile transports may reject for size
+            vgg_model = self.vgg[0]
             f_out = vgg_model.apply({"params": vgg_params}, style_pred)
             f_tgt = vgg_model.apply({"params": vgg_params}, style_tgt)
             l_style, l_content = style_losses.style_content_loss(
@@ -544,10 +549,13 @@ class Trainer:
             sample_weight_real, sample_weight_fake, weight_color_disc,
         )
 
-    def _step(self, flags: StepFlags, gen_state: GenState, disc_state, batch, rng):
+    def _step(self, flags: StepFlags, gen_state: GenState, disc_state, batch, rng,
+              vgg_params=None):
         cfg = self.cfg
 
-        fwd = lambda p: self._forward_losses(p, gen_state.batch_stats, batch, flags)
+        fwd = lambda p: self._forward_losses(
+            p, gen_state.batch_stats, batch, flags, vgg_params
+        )
         (loss_and_synth, vjp_fn, aux) = jax.vjp(fwd, gen_state.params, has_aux=True)
         loss_rest, synth = loss_and_synth
         metrics = aux["metrics"]

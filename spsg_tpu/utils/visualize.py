@@ -60,7 +60,7 @@ def save_predictions(
     target_semantics: Optional[np.ndarray],  # (Z,Y,X)
     pred_sdf: Optional[np.ndarray],  # (Z,Y,X), -inf empty
     pred_colors: Optional[np.ndarray],  # (Z,Y,X,3) in [0,1]
-    pred_semantics: Optional[np.ndarray],  # (Z,Y,X,C) logits
+    pred_semantics: Optional[np.ndarray],  # (Z,Y,X,C) logits or (Z,Y,X) labels
     truncation: float = 3.0,
     color_space: str = "lab",
     images: Optional[Dict[str, np.ndarray]] = None,
@@ -95,7 +95,12 @@ def save_predictions(
             pcol = colors_to_rgb_u8((pred_colors + 1.0) * 0.5 * 255.0, color_space)
         mesh_dump(pred_sdf, pcol, "pred-mesh")
         if pred_semantics is not None:
-            labels = np.argmax(pred_semantics, axis=-1)
+            # (Z,Y,X,C) logits or (Z,Y,X) precomputed labels
+            labels = (
+                pred_semantics
+                if pred_semantics.ndim == 3
+                else np.argmax(pred_semantics, axis=-1)
+            )
             sem_col = category.map_label_to_color(labels)
             mesh_dump(pred_sdf, sem_col, "pred-sem-mesh")
     if target_sdf is not None:

@@ -92,6 +92,29 @@ def test_semantic_step():
     assert np.isfinite(float(metrics["loss_semantic"]))
 
 
+def test_style_content_step():
+    """Style/content phase through Trainer.step with VGG params threaded as a
+    jit argument (reference train.py:663-686); loss finite and style terms
+    reported."""
+    from spsg_tpu.models.vgg import load_vgg_for_style
+
+    cfg = _tiny_cfg(
+        weight_disc_loss=0.0, weight_depth_loss=1.0,
+        weight_style_loss=1.0, weight_content_loss=1.0,
+    )
+    gen_state, _ = init_states(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg, vgg=load_vgg_for_style())
+    batch = _batch(cfg, with_frames=True)
+    flags = StepFlags(
+        pred_sdf=True, pred_color=True, pred_semantic=True, use_2d=True,
+        compute_style=True, compute_content=True,
+    )
+    _, _, metrics = trainer.step(gen_state, None, batch, jax.random.PRNGKey(1), flags)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_style"]))
+    assert np.isfinite(float(metrics["loss_content"]))
+
+
 def test_unfused_raycast_step_matches_fused():
     """fuse_raycast only changes march scheduling (one stacked while_loop vs
     three), never results: every metric must match to float tolerance."""
