@@ -93,16 +93,19 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
     remat = getattr(args, "remat", False) if remat is None else remat
     dims = (128, 64, 64) if args.dims == 0 else (args.dims,) * 3  # smoke-test knob
     full = args.mode == "full"
+    use_2d = args.mode in ("full", "2d")  # "2d" isolates raycast+2D losses from disc cost
     cfg = TrainConfig(
         input_dim=dims,
         batch_size=batch_size,
         weight_disc_loss=0.5 if full else 0.0,
-        weight_depth_loss=1.0 if full else 0.0,
+        weight_depth_loss=1.0 if use_2d else 0.0,
         max_depth_fill_iters=0,  # synthetic frames are hole-free
         compute_dtype="bfloat16" if bf16 else None,
         remat=remat,
         fuse_raycast=not getattr(args, "unfuse", False),
         **({"straggler_frac": args.straggler} if getattr(args, "straggler", None) is not None else {}),
+        **({"march_block": args.march_block} if getattr(args, "march_block", 0) else {}),
+        **({"coarse_hops": args.hops} if getattr(args, "hops", 0) else {}),
     )
     print(f"[bench] building synthetic batch (dims={dims}, B={batch_size})", file=sys.stderr)
     batch = synthetic.make_chunk_batch(
@@ -110,7 +113,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         dims=dims,
         image_dims=(cfg.style_width, cfg.style_height),
         seed=0,
-        with_frames=full,
+        with_frames=use_2d,
         truncation=cfg.truncation,
     )
     batch.pop("name", None)
@@ -123,7 +126,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         pred_sdf=True,
         pred_color=True,
         pred_semantic=True,
-        use_2d=full,
+        use_2d=use_2d,
         use_disc=full,
     )
 
@@ -154,6 +157,8 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         "value": round(chunks_per_sec / n_chips, 4),
         "unit": "chunks/s/chip (64x64x128 TSDF, full 3D+2D+GAN step)"
         if full
+        else "chunks/s/chip (64x64x128 TSDF, 3D+2D losses)"
+        if use_2d
         else "chunks/s/chip (64x64x128 TSDF, 3D losses)",
         "vs_baseline": None,
         "extra": {
@@ -229,7 +234,7 @@ def main():
     p.add_argument("--batch_size", type=int, default=2)  # reference default (train.py:49)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--mode", choices=["full", "geo", "scene"], default="full")
+    p.add_argument("--mode", choices=["full", "2d", "geo", "scene"], default="full")
     p.add_argument("--bf16", action="store_true", help="bfloat16 conv compute")
     p.add_argument("--remat", action="store_true", help="rematerialized generator")
     p.add_argument("--dims", type=int, default=0,
@@ -237,6 +242,10 @@ def main():
                    "for CPU smoke tests only")
     p.add_argument("--sweep", action="store_true",
                    help="batch-scaling sweep; reports the best config")
+    p.add_argument("--march_block", type=int, default=0,
+                   help="override march fine-block size (0 = config default)")
+    p.add_argument("--hops", type=int, default=0,
+                   help="override coarse skip hops per iteration")
     p.add_argument("--straggler", type=float, default=None,
                    help="march straggler-compaction fraction override "
                    "(default: TrainConfig default; 0 = off)")

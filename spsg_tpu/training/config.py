@@ -82,6 +82,10 @@ class TrainConfig:
     # 0.0625 -> 0.984 s, 0.125 -> 0.910 s (best), 0.25 -> 0.936 s vs 1.073 s
     # uncompacted (B=2 f32).
     straggler_frac: float = 0.125
+    # march tunables (ops/raycast.py RaycastConfig; sweep via bench.py
+    # --march_block/--hops or tools/profile_tpu.py --march)
+    march_block: int = 32
+    coarse_hops: int = 4
     # one stacked march for input/target/pred vs three separate marches:
     # outputs are identical; the stacked march issues 3x the gather rows per
     # iteration (more memory-level parallelism in flight) but runs every grid

@@ -65,6 +65,8 @@ def _raycast_cfg(cfg: TrainConfig) -> RaycastConfig:
         ray_increment=cfg.ray_increment,
         thresh_sample_dist=cfg.thresh_sample_dist,
         straggler_frac=cfg.straggler_frac,
+        march_block=cfg.march_block,
+        coarse_hops=cfg.coarse_hops,
     )
 
 
