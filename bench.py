@@ -102,7 +102,8 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         max_depth_fill_iters=0,  # synthetic frames are hole-free
         compute_dtype="bfloat16" if bf16 else None,
         remat=remat,
-        fuse_raycast=not getattr(args, "unfuse", False),
+        **({"fuse_raycast": False} if getattr(args, "unfuse", False)
+           else {"fuse_raycast": True} if getattr(args, "fuse", False) else {}),
         **({"straggler_frac": args.straggler} if getattr(args, "straggler", None) is not None else {}),
         **({"march_block": args.march_block} if getattr(args, "march_block", 0) else {}),
         **({"coarse_hops": args.hops} if getattr(args, "hops", 0) else {}),
@@ -166,7 +167,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
             "batch_size": batch_size,
             "bf16": bool(bf16),
             "remat": bool(remat),
-            "fused_raycast": not getattr(args, "unfuse", False),
+            "fused_raycast": cfg.fuse_raycast,
             "straggler_frac": cfg.straggler_frac,
             "mode": args.mode,
             "device": str(jax.devices()[0]),
@@ -250,7 +251,9 @@ def main():
                    help="march straggler-compaction fraction override "
                    "(default: TrainConfig default; 0 = off)")
     p.add_argument("--unfuse", action="store_true",
-                   help="three separate raycast marches instead of one stacked")
+                   help="force three separate raycast marches (config default)")
+    p.add_argument("--fuse", action="store_true",
+                   help="force the single stacked tri-raycast march")
     args = p.parse_args()
 
     try:

@@ -87,11 +87,13 @@ class TrainConfig:
     march_block: int = 32
     coarse_hops: int = 4
     # one stacked march for input/target/pred vs three separate marches:
-    # outputs are identical; the stacked march issues 3x the gather rows per
-    # iteration (more memory-level parallelism in flight) but runs every grid
-    # to the slowest grid's trip count — which is faster is a measurement
-    # question (bench.py compares; see docs/DESIGN.md §5)
-    fuse_raycast: bool = True
+    # outputs are identical. Measured (v5e, full bf16 step): separate marches
+    # win — 0.697 s vs 0.836 s — because march cost is gather-ROW bound and
+    # the stacked march runs every grid to the slowest grid's trip count,
+    # while separate marches exit early per grid (coarse skip + straggler
+    # compaction already handle the within-grid tail). Fusing was only ahead
+    # before those existed, when loop control dominated.
+    fuse_raycast: bool = False
 
     def __post_init__(self):
         assert self.disc_loss_type in GAN_TYPES
