@@ -89,7 +89,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
     from spsg_tpu.training.step import Trainer
 
     batch_size = args.batch_size if batch_size is None else batch_size
-    bf16 = args.bf16 if bf16 is None else bf16
+    bf16 = (args.bf16 and not args.f32) if bf16 is None else bf16
     remat = getattr(args, "remat", False) if remat is None else remat
     dims = (128, 64, 64) if args.dims == 0 else (args.dims,) * 3  # smoke-test knob
     full = args.mode == "full"
@@ -236,7 +236,10 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--mode", choices=["full", "2d", "geo", "scene"], default="full")
-    p.add_argument("--bf16", action="store_true", help="bfloat16 conv compute")
+    p.add_argument("--bf16", action="store_true", default=True,
+                   help="bfloat16 conv compute, f32 master weights (default; "
+                   "convergence-equivalent to f32, docs/DESIGN.md §5)")
+    p.add_argument("--f32", action="store_true", help="force float32 convs")
     p.add_argument("--remat", action="store_true", help="rematerialized generator")
     p.add_argument("--dims", type=int, default=0,
                    help="cubic chunk dims override (0 = reference 128x64x64); "
