@@ -98,7 +98,7 @@ def run_chunked_inference(
         raise ValueError("scene has no occupied windows")
 
     n_win = len(positions)
-    n_batches = -(-n_win) // window_batch
+    n_batches = -(-n_win // window_batch)  # ceil: the last partial batch runs padded
 
     put = None
     if mesh is not None:

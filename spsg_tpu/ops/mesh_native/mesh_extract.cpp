@@ -326,7 +326,27 @@ struct MeshBuilder {
         gy += sy * wx * wz * g[c];
         gz += sz * wx * wy * g[c];
       }
-      bool flip = (nx * gx + ny * gy + nz * gz) < 0.f;
+      float orient = nx * gx + ny * gy + nz * gz;
+      if (orient == 0.f) {
+        // centroid sits on a saddle of the trilinear field (possible with
+        // symmetric truncated values): fall back to the direction from the
+        // inside-corner centroid to the outside-corner centroid — a
+        // deterministic outward proxy independent of the traced order
+        float ix = 0, iy = 0, iz = 0, ox = 0, oy = 0, oz = 0;
+        int ni = 0, no = 0;
+        for (int c2 = 0; c2 < 8; ++c2) {
+          if (inside[c2]) {
+            ix += corner_dx(c2); iy += corner_dy(c2); iz += corner_dz(c2); ++ni;
+          } else {
+            ox += corner_dx(c2); oy += corner_dy(c2); oz += corner_dz(c2); ++no;
+          }
+        }
+        float dx2 = ox / no - ix / ni;
+        float dy2 = oy / no - iy / ni;
+        float dz2 = oz / no - iz / ni;
+        orient = nx * dx2 + ny * dy2 + nz * dz2;
+      }
+      bool flip = orient < 0.f;
 
       int64_t ids[12];
       for (int i = 0; i < np; ++i)

@@ -510,8 +510,15 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
         # original pixel order so gather locality is preserved
         sel = jnp.argsort(~alive, axis=1, stable=True)[:, :cap]
         take = lambda a: jnp.take_along_axis(a, sel, axis=1)
+        # phase 2 CONTINUES phase 1's iteration count: the n_iter_max budget
+        # is shared, so even if phase 1 exited on the budget (possible only
+        # when max_dir_slack under-bounds 1/cam_z) every ray still marches
+        # exactly as many body iterations as the uncompacted march would —
+        # bit-identity holds in the budget-bound case too, and rays beyond
+        # `cap` that a budget exit would strand get zero phase-2 iterations,
+        # exactly like the plain march's cutoff
         init2 = dict(
-            it=jnp.zeros((), jnp.int32),
+            it=c["it"],
             **{key: take(c[key]) for key in ("k", "prev", "found", "t_lo", "d_lo", "t_hi", "d_hi")},
         )
         c2 = run_march(init2, take(t0), take(t_stop), take(dx), take(dy), take(dz))
@@ -520,7 +527,7 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
         rows = jnp.arange(B)[:, None]
         for key in ("found", "t_lo", "d_lo", "t_hi", "d_hi"):
             c[key] = c[key].at[rows, sel].set(c2[key])
-        c["it"] = c["it"] + c2["it"]
+        c["it"] = c2["it"]
     else:
         c = run_march(init, t0, t_stop, dx, dy, dz)
     found = c["found"]

@@ -77,6 +77,29 @@ def test_multi_window_stitching():
     assert 0.0 <= summary["mean_iou"] <= 1.0
 
 
+def test_window_batch_size_invariance():
+    """Results must not depend on how windows are batched — in particular a
+    window count NOT divisible by window_batch must still process every
+    window (regression: ceil-division bug dropped the trailing partial
+    batch)."""
+    cfg, gen, variables = _setup()
+    sample = _scene_sample((16, 40, 48), seed=4)
+    outs = {}
+    for wb in (7, 64):  # 64 >> n_win: everything in one batch
+        outs[wb] = chunked.run_chunked_inference(
+            gen, variables, sample["input"], sample["mask"], sample["target_sdf"],
+            sample["known"], sample["semantics"], chunk_dims=CHUNK,
+            stride=8, pad=2, max_height=CHUNK[0], window_batch=wb,
+        )
+    a, b = outs[7], outs[64]
+    assert int(a.counts.sum()) == int(b.counts.sum())
+    np.testing.assert_array_equal(a.counts, b.counts)
+    got = a.counts > 0
+    np.testing.assert_allclose(a.sdf[got], b.sdf[got], atol=1e-6)
+    assert a.geo_union == b.geo_union
+    assert a.geo_intersection == b.geo_intersection
+
+
 def test_iou_txt(tmp_path):
     summary = {
         "geo_iou": 0.5,

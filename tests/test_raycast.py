@@ -269,24 +269,31 @@ def test_straggler_compaction_bit_identical(frac):
     dims = (64, 64, 64)
     sdf, valid = _blob_scene(dims, seed=5)
     base = _cfg(depth_max=200.0)
-    for cam in (_down_camera(dims, 60.0), _oblique_camera(dims)):
-        view, intr = cam
-        for skip in (True, False):
-            outs = {}
-            for name, f in (("compact", frac), ("plain", 0.0)):
-                cfg = dataclasses.replace(
-                    base, coarse_skip=skip, straggler_frac=f
-                )
-                out = raycast.find_surface_crossings(
-                    jnp.asarray(sdf[None]), jnp.asarray(valid[None]),
-                    jnp.asarray(view[None]), jnp.asarray(intr[None]), cfg,
-                )
-                outs[name] = {k: np.asarray(v) for k, v in out.items() if k != "n_iters"}
-            assert outs["compact"]["hit"].sum() > 20  # scene actually hit
-            for k in outs["plain"]:
-                np.testing.assert_array_equal(
-                    outs["compact"][k], outs["plain"][k], err_msg=k
-                )
+    # slack=0.05 under-bounds 1/cam_z so the n_iter_max budget BINDS — the
+    # phase-1/phase-2 iteration budget must be shared for bit-identity there
+    for slack in (1.45, 0.05):
+        for cam in (_down_camera(dims, 60.0), _oblique_camera(dims)):
+            view, intr = cam
+            for skip in (True, False):
+                outs = {}
+                for name, f in (("compact", frac), ("plain", 0.0)):
+                    cfg = dataclasses.replace(
+                        base, coarse_skip=skip, straggler_frac=f,
+                        max_dir_slack=slack,
+                    )
+                    out = raycast.find_surface_crossings(
+                        jnp.asarray(sdf[None]), jnp.asarray(valid[None]),
+                        jnp.asarray(view[None]), jnp.asarray(intr[None]), cfg,
+                    )
+                    outs[name] = {
+                        k: np.asarray(v) for k, v in out.items() if k != "n_iters"
+                    }
+                if slack == 1.45:
+                    assert outs["compact"]["hit"].sum() > 20  # scene actually hit
+                for k in outs["plain"]:
+                    np.testing.assert_array_equal(
+                        outs["compact"][k], outs["plain"][k], err_msg=k
+                    )
 
 
 def test_raycast_occ():
