@@ -16,6 +16,12 @@ import numpy as np
 
 def build_parser():
     p = argparse.ArgumentParser()
+    p.add_argument("--gpu", type=int, default=0,
+                   help="accepted for reference run-script compatibility; "
+                   "ignored (device selection is JAX's)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the JAX CPU backend (reference test_scene.py "
+                   "--cpu)")
     p.add_argument("--input_data_path", default="")
     p.add_argument("--target_data_path", default="")
     p.add_argument("--test_file_list", default="")
@@ -24,17 +30,30 @@ def build_parser():
     p.add_argument("--synthetic_scenes", type=int, default=0)
     p.add_argument("--truncation", type=float, default=3)
     p.add_argument("--voxelsize", type=float, default=0.02)
+    p.add_argument("--input_dim", type=int, nargs=3, default=None,
+                   metavar=("Z", "Y", "X"),
+                   help="max scene bounds to load (reference test_scene.py:63 "
+                   "default (128, 260, 328)); the forward pass here is "
+                   "shape-polymorphic so this only bounds loading")
     p.add_argument("--nf_gen", type=int, default=20)
     p.add_argument("--no_pass_geo_feats", dest="pass_geo_feats", action="store_false")
     p.add_argument("--input_mask", type=int, default=1)
     p.add_argument("--max_input_height", type=int, default=128)
     p.add_argument("--num_to_vis", type=int, default=10)
     p.add_argument("--max_to_process", type=int, default=150)
+    p.add_argument("--vis_only", action="store_true",
+                   help="overwrite an existing --output without prompting "
+                   "(reference test_scene.py:43; this CLI never prompts)")
     p.add_argument("--weight_color_loss", type=float, default=1.0)
     p.add_argument("--weight_semantic_loss", type=float, default=0.1)
+    p.add_argument("--color_thresh", type=float, default=15.0)
+    p.add_argument("--color_truncation", type=float, default=0)
+    p.add_argument("--augment_rgb_scaling", action="store_true")
+    p.add_argument("--augment_scale_min", type=float, default=0.5)
+    p.add_argument("--augment_scale_max", type=float, default=1.5)
     p.add_argument("--color_space", type=str, default="lab")
-    p.add_argument("--style_width", type=int, default=320)
-    p.add_argument("--style_height", type=int, default=256)
+    p.add_argument("--style_width", type=int, default=480)  # reference test_scene.py:58
+    p.add_argument("--style_height", type=int, default=384)
     p.add_argument("--spatial_shard", action="store_true",
                    help="shard the scene volume along Y over all devices")
     p.set_defaults(pass_geo_feats=True)
@@ -102,6 +121,12 @@ def render_views(sdf, valid, colors01, semantics_grid, view, intr, cfg_rc):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
+
+    if args.cpu:
+        # after-import config update is the only reliable way to force CPU
+        # here (sitecustomize may already have imported jax with a TPU
+        # platform; see tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ..data import pipeline
@@ -125,26 +150,36 @@ def main(argv=None):
         print("loaded model:", args.model_path)
     variables = {"params": gen_state.params, "batch_stats": gen_state.batch_stats}
 
-    scenes = []
+    # streamed: one scene's arrays in host RAM at a time (matches the
+    # reference's dataloader iteration, test_scene.py:110)
     if args.synthetic_scenes > 0:
         from ..data import synthetic
 
-        for i in range(args.synthetic_scenes):
-            s = synthetic.make_scene(dims=(128, 160, 192), seed=200 + i)
-            sample = pipeline.assemble_sample(
-                s.sdf_input, s.sdf_complete, s.input_colors, s.colors, s.semantics,
-                s.known, s.world2grid, args.truncation, args.color_space, None,
-            )
-            sample["name"] = f"synthetic_scene_{i}"
-            scenes.append(sample)
+        def _iter_scenes():
+            for i in range(args.synthetic_scenes):
+                s = synthetic.make_scene(dims=(128, 160, 192), seed=200 + i)
+                sample = pipeline.assemble_sample(
+                    s.sdf_input, s.sdf_complete, s.input_colors, s.colors,
+                    s.semantics, s.known, s.world2grid, args.truncation,
+                    args.color_space, None,
+                )
+                sample["name"] = f"synthetic_scene_{i}"
+                yield sample
+
     else:
         files, _, _ = pipeline.get_train_files(args.input_data_path, args.test_file_list)
         files = files[: args.max_to_process]
         ds = pipeline.SceneDataset(
             files, args.target_data_path, truncation=args.truncation,
             color_space=args.color_space, load_semantic=args.weight_semantic_loss > 0,
+            color_truncation=args.color_truncation,
+            augment_hue=args.augment_rgb_scaling,
+            aug_scale_range=(args.augment_scale_min, args.augment_scale_max),
         )
-        scenes = [ds[i] for i in range(len(ds))]
+
+        def _iter_scenes():
+            for i in range(len(ds)):
+                yield ds[i]
 
     os.makedirs(args.output, exist_ok=True)
     rc = RaycastConfig(
@@ -160,10 +195,18 @@ def main(argv=None):
     from ..parallel import make_mesh
 
     mesh = make_mesh() if args.spatial_shard else None
-    for si, sample in enumerate(scenes[: args.max_to_process]):
+    for si, sample in enumerate(_iter_scenes()):
+        if si >= args.max_to_process:
+            break
         name = sample["name"]
         inp = sample["input"]
         mask = sample["mask"]
+        if args.input_dim is not None:
+            # bound loaded scene extents (reference max_data_size crop,
+            # test_scene.py:63,78)
+            z, y, x = args.input_dim
+            inp = inp[:z, :y, :x]
+            mask = mask[:z, :y, :x] if mask is not None else None
         n_shards = mesh.shape["data"] if mesh is not None else 1
         pad_inp, pad_mask, dims = whole_scene.pad_scene(
             inp, mask, args.truncation, args.max_input_height, y_multiple=4 * n_shards

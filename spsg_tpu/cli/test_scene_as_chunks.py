@@ -23,6 +23,9 @@ import numpy as np
 
 def build_parser():
     p = argparse.ArgumentParser()
+    p.add_argument("--gpu", type=int, default=0,
+                   help="accepted for reference run-script compatibility; "
+                   "ignored (device selection is JAX's)")
     p.add_argument("--input_data_path", default="", help="path to input scenes")
     p.add_argument("--target_data_path", default="", help="path to target scenes")
     p.add_argument("--test_file_list", default="", help="file list of test scenes")
@@ -36,8 +39,19 @@ def build_parser():
     p.add_argument("--input_mask", type=int, default=1)
     p.add_argument("--num_to_vis", type=int, default=10)
     p.add_argument("--max_to_process", type=int, default=150)
+    p.add_argument("--vis_only", action="store_true",
+                   help="overwrite an existing --output without prompting "
+                   "(reference test_scene_as_chunks.py:354-358; this CLI "
+                   "never prompts, so the flag only suppresses the cleanup)")
     p.add_argument("--weight_color_loss", type=float, default=1.0)
     p.add_argument("--weight_semantic_loss", type=float, default=0.1)
+    p.add_argument("--color_thresh", type=float, default=15.0)
+    p.add_argument("--color_truncation", type=float, default=0,
+                   help="zero input colors farther than this many voxels "
+                   "from the surface (reference :43)")
+    p.add_argument("--augment_rgb_scaling", action="store_true")
+    p.add_argument("--augment_scale_min", type=float, default=0.5)
+    p.add_argument("--augment_scale_max", type=float, default=1.5)
     p.add_argument("--color_space", type=str, default="lab")
     p.add_argument("--stride", type=int, default=32)
     p.add_argument("--window_batch", type=int, default=8)
@@ -74,20 +88,27 @@ def main(argv=None):
         print("loaded model:", args.model_path)
     variables = {"params": gen_state.params, "batch_stats": gen_state.batch_stats}
 
-    # assemble scenes
-    scenes = []
+    # scene iteration is STREAMED — one scene's arrays in host RAM at a time
+    # (the reference iterates the dataloader the same way,
+    # test_scene_as_chunks.py:111; materializing the 394-scene Matterport
+    # test list up front would be tens of GB)
     if args.synthetic_scenes > 0:
         from ..data import pipeline, synthetic
 
         scene_dims = (chunk_dims[0], chunk_dims[1] * 5 // 2, chunk_dims[2] * 3)
-        for i in range(args.synthetic_scenes):
-            s = synthetic.make_scene(dims=scene_dims, seed=100 + i)
-            sample = pipeline.assemble_sample(
-                s.sdf_input, s.sdf_complete, s.input_colors, s.colors, s.semantics,
-                s.known, s.world2grid, args.truncation, args.color_space, None,
-            )
-            sample["name"] = f"synthetic_scene_{i}"
-            scenes.append(sample)
+
+        def _iter_scenes():
+            for i in range(args.synthetic_scenes):
+                s = synthetic.make_scene(dims=scene_dims, seed=100 + i)
+                sample = pipeline.assemble_sample(
+                    s.sdf_input, s.sdf_complete, s.input_colors, s.colors,
+                    s.semantics, s.known, s.world2grid, args.truncation,
+                    args.color_space, None,
+                )
+                sample["name"] = f"synthetic_scene_{i}"
+                yield sample
+
+        num_scenes = args.synthetic_scenes
     else:
         from ..data import pipeline
 
@@ -101,8 +122,16 @@ def main(argv=None):
             truncation=args.truncation,
             color_space=args.color_space,
             load_semantic=args.weight_semantic_loss > 0,
+            color_truncation=args.color_truncation,
+            augment_hue=args.augment_rgb_scaling,
+            aug_scale_range=(args.augment_scale_min, args.augment_scale_max),
         )
-        scenes = [ds[i] for i in range(len(ds))]
+
+        def _iter_scenes():
+            for i in range(len(ds)):
+                yield ds[i]
+
+        num_scenes = len(ds)
 
     os.makedirs(args.output, exist_ok=True)
     vis_dir = os.path.join(args.output, "vis")
@@ -114,8 +143,8 @@ def main(argv=None):
     cls_u_total = np.zeros(category.NUM_CLASSES, np.int64)
     cls_w_total = np.zeros(category.NUM_CLASSES, np.int64)
     num_vis = 0
-    for si, sample in enumerate(scenes):
-        print(f"[ {si} | {len(scenes)} ] {sample['name']} {sample['input'].shape}")
+    for si, sample in enumerate(_iter_scenes()):
+        print(f"[ {si} | {num_scenes} ] {sample['name']} {sample['input'].shape}")
         out = chunked.run_chunked_inference(
             generator,
             variables,
@@ -158,7 +187,7 @@ def main(argv=None):
                 else None,
                 out.sdf,
                 pred_colors01,
-                out.semantics,
+                out.sem_labels,
                 truncation=args.truncation,
                 color_space=args.color_space,
             )
@@ -168,7 +197,7 @@ def main(argv=None):
     summary = chunked.summarize_iou(
         geo_i_total, geo_u_total, cls_i_total, cls_u_total, cls_w_total
     )
-    print(f"Evaluate {len(scenes)} regions:")
+    print(f"Evaluate {num_scenes} regions:")
     print(f"**Geo IoU: {summary['geo_iou']:.3f}")
     for n, v in summary["class_iou"].items():
         print(f"{n}: {v:.3f}")

@@ -272,8 +272,10 @@ class ChunkDataset:
         seed: int = 0,
         input_dim=None,
         max_num_frames: int = 1,
+        subsamp2d_factor: int = 1,
     ):
         self.max_num_frames = max_num_frames
+        self.subsamp2d_factor = subsamp2d_factor
         # rescale chunks when training at a non-native resolution (reference
         # scene_dataloader.py:170-175: native z-heights are 96/128/160); the
         # factor is resolved per chunk from its actual height in __getitem__
@@ -364,7 +366,27 @@ class ChunkDataset:
             if frames is None:
                 sample["frames_missing"] = np.array(True)
             else:
-                depths, colors_f, poses, intrs = frames
+                depths, colors_f, poses, intrs, frame_ids = frames
+                if self.subsamp2d_factor > 1:
+                    # low-pass the target frame colors: bilinear downsample by
+                    # the factor, then back up (reference
+                    # scene_dataloader.py:161-167; applied before color-space
+                    # conversion). scipy order-1 zoom stands in for torch's
+                    # align_corners=False bilinear — kernels differ only at
+                    # image borders.
+                    from scipy.ndimage import zoom
+
+                    def _lowpass(c):  # (3, H, W) float
+                        h, w = c.shape[1:]
+                        f = self.subsamp2d_factor
+                        small = zoom(c, (1, 1.0 / f, 1.0 / f), order=1)
+                        return zoom(
+                            small,
+                            (1, h / small.shape[1], w / small.shape[2]),
+                            order=1,
+                        ).astype(np.float32)
+
+                    colors_f = [_lowpass(c) for c in colors_f]
                 if self.color_space == "lab":
                     converted = []
                     for color in colors_f:
@@ -375,6 +397,9 @@ class ChunkDataset:
                 views = [
                     (sample["world2grid"] @ pose).astype(np.float32) for pose in poses
                 ]
+                # which frames were (randomly) selected — lets the training
+                # loop key its per-(chunk, frames) render cache (loop.py)
+                sample["frame_ids"] = np.asarray(frame_ids, np.int64)
                 if self.max_num_frames == 1:
                     sample["images_depth"] = depths[0]
                     sample["images_color"] = colors_f[0]
@@ -425,7 +450,7 @@ class ChunkDataset:
             colors_f.append(color)
             poses.append(pose)
             intrs.append(intr)
-        return depths, colors_f, poses, intrs
+        return depths, colors_f, poses, intrs, ids
 
 
 class SceneDataset:
@@ -443,6 +468,10 @@ class SceneDataset:
         load_semantic: bool = False,
         load_known: bool = True,
         max_input_height: int = 0,
+        color_truncation: float = 0.0,
+        augment_hue: bool = False,
+        aug_scale_range=(0.5, 1.5),
+        seed: int = 0,
     ):
         self.pairs = [
             (f, os.path.join(target_path, os.path.basename(f)))
@@ -454,6 +483,13 @@ class SceneDataset:
         self.load_semantic = load_semantic
         self.load_known = load_known
         self.max_input_height = max_input_height
+        # eval-time knobs matching the reference SceneDataset signature
+        # (scene_dataloader.py:53-66): color truncation masking + optional hue
+        # augmentation (off by default at test, test_scene_as_chunks.py:50)
+        self.color_truncation = color_truncation
+        self.augment_hue = augment_hue
+        self.aug_scale_range = aug_scale_range
+        self.rng = np.random.default_rng(seed)
 
     def __len__(self):
         return len(self.pairs)
@@ -489,6 +525,10 @@ class SceneDataset:
                 known, _, _ = formats.load_known(knw_path)
                 if known.shape != dims:
                     known = formats.rescale_known(known, (3, 3, 3), (3, 6, 6), dims)
+        if self.color_truncation > 0 and inp.colors is not None:
+            m = np.abs(inp.sdf) > self.color_truncation
+            locs_m = inp.locs[m]
+            inp.colors[locs_m[:, 0], locs_m[:, 1], locs_m[:, 2], :] = 0
         in_bounds = (
             (inp.locs[:, 0] < dims[0]) & (inp.locs[:, 1] < dims[1]) & (inp.locs[:, 2] < dims[2])
         )
@@ -501,6 +541,10 @@ class SceneDataset:
         target_colors = (
             tgt.colors if tgt.colors is not None else np.zeros(dims + (3,), np.uint8)
         )
+        scale = None
+        if self.augment_hue:
+            lo, hi = self.aug_scale_range
+            scale = float(self.rng.random() * (hi - lo) + lo)
         sample = assemble_sample(
             sdf_input=sdf_input,
             sdf_target=sdf_target,
@@ -511,7 +555,7 @@ class SceneDataset:
             world2grid=tgt.world2grid,
             truncation=self.truncation,
             color_space=self.color_space,
-            augment_hue_scale=None,
+            augment_hue_scale=scale,
         )
         sample["name"] = name
         return sample

@@ -28,9 +28,12 @@ from ..data import category
 class SceneOutputs:
     sdf: np.ndarray  # (Z, Y, X) stitched, -inf where no prediction
     colors: Optional[np.ndarray]  # (Z, Y, X, 3) uint8 in [0, 255]
-    semantics: Optional[np.ndarray]  # (Z, Y, X) uint8 argmax labels (computed
-    # on device — transferring the (N, 14) float accumulator dominated
-    # whole-scene wall time on relay-attached TPUs)
+    # named sem_labels (NOT `semantics`) because the field changed meaning in
+    # r2 from (Z,Y,X,14) accumulated float logits to (Z,Y,X) uint8 argmax
+    # labels, computed on device — transferring the (N, 14) float accumulator
+    # dominated whole-scene wall time on relay-attached TPUs. The rename makes
+    # stale probability-weighted consumers fail loudly (ADVICE r2).
+    sem_labels: Optional[np.ndarray]  # (Z, Y, X) uint8 argmax labels
     occ: np.ndarray  # (Z, Y, X) bool
     counts: np.ndarray  # (Z, Y, X) overlap counts
     geo_intersection: int
@@ -385,7 +388,7 @@ def run_chunked_inference(
     return SceneOutputs(
         sdf=sdf_out,
         colors=color_out,
-        semantics=sem_out,
+        sem_labels=sem_out,
         occ=occ_out,
         counts=counts,
         geo_intersection=geo_i,

@@ -133,6 +133,17 @@ def marching_cubes(
             lib.spsg_mesh_free(cp)
         lib.spsg_mesh_free(fp)
         return verts.astype(np.float32), out_colors, faces
+    # the fallback is a faceless point soup: callers relying on method='mc'
+    # topology guarantees (watertight closed surfaces) must see the
+    # capability downgrade, not silently get zero faces (ADVICE r2)
+    import warnings
+
+    warnings.warn(
+        "spsg-tpu: native mesh extractor unavailable (no g++/.so) — falling "
+        f"back to a degenerate point-soup mesh; method={method!r} topology "
+        "guarantees do NOT hold",
+        stacklevel=2,
+    )
     return _marching_tetrahedra_np(sdf, colors, isovalue, truncation)
 
 

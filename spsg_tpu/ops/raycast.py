@@ -87,6 +87,11 @@ class RaycastConfig:
     # BIT-IDENTICAL to the uncompacted march.
     straggler_frac: float = 0.0
 
+    def __post_init__(self):
+        # frac >= 1 would silently disable compaction (cap == P); catch the
+        # configuration error instead (ADVICE r2)
+        assert 0.0 <= self.straggler_frac < 1.0, self.straggler_frac
+
 
 class RaycastOutput(NamedTuple):
     color: jax.Array  # (B, H, W, 3), -inf invalid
@@ -501,7 +506,9 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
         d_hi=jnp.zeros((B, P), jnp.float32),
     )
 
-    cap = int(P * cfg.straggler_frac)
+    # frac > 0 always compacts: tiny fractions clamp to one survivor slot
+    # instead of silently disabling compaction (ADVICE r2)
+    cap = max(1, int(P * cfg.straggler_frac)) if cfg.straggler_frac > 0 else 0
     if 0 < cap < P:
         c = run_march(init, t0, t_stop, dx, dy, dz, stop_alive_gt=cap)
         alive = ~c["found"] & (t0 + c["k"] * step <= t_stop)

@@ -94,6 +94,18 @@ class TrainConfig:
     # compaction already handle the within-grid tail). Fusing was only ahead
     # before those existed, when loop control dominated.
     fuse_raycast: bool = False
+    # per-(chunk, frames) device-side LRU of the parameter-independent view
+    # precomputation (input/target march hits + depth chain; the reference
+    # recomputes them every step, train.py:563,590). Entries are a few MB of
+    # HBM each; capacity in entries, 0 disables. Bit-identical losses
+    # (tests/test_train_step.py::test_precomputed_views_step_bit_identical).
+    cache_renders: int = 0
+    # exact reference skip semantics (train.py:539-541): when a frame's depth
+    # holes cannot be filled, the reference `continue`s — no generator OR
+    # discriminator step at all, 3D losses included. Default (False) keeps
+    # the documented deviation of zeroing only the 2D terms (strictly more
+    # data used); enable for exact-parity runs.
+    skip_batch_on_bad_depth: bool = False
 
     def __post_init__(self):
         assert self.disc_loss_type in GAN_TYPES

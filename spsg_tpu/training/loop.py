@@ -24,6 +24,7 @@ def _prepare_batch(batch, cfg: TrainConfig, it: int):
     batch = dict(batch)
     batch.pop("name", None)
     batch.pop("frames_missing", None)
+    batch.pop("frame_ids", None)  # cache key only (RenderCache), not a tensor
     # curriculum occ weight (train.py:476)
     w = 1.0 if it <= cfg.num_iters_geo_only else cfg.weight_occ_loss
     batch["weight_occ"] = np.asarray(w, np.float32)
@@ -32,6 +33,59 @@ def _prepare_batch(batch, cfg: TrainConfig, it: int):
 
 def _has_frames(batch) -> bool:
     return "images_depth" in batch and "images_color" in batch
+
+
+class RenderCache:
+    """Device-side LRU over Trainer.precompute_views results, keyed per
+    (chunk name, selected frame ids).
+
+    The input/target raycast marches and the depth->normals chain depend only
+    on the batch, never on model parameters, yet the reference recomputes
+    them every step (train.py:563,590). Caching them per (chunk, frames)
+    makes every revisit of a chunk skip ~half the per-step march cost with
+    bit-identical losses. Entries live on device ((F, ...) leading-axis
+    slices); a batch of all-hits is passed to Trainer.step as a tuple of
+    per-sample entries and concatenated inside the compiled step (no extra
+    host dispatches on the hot path)."""
+
+    def __init__(self, trainer: Trainer, capacity: int):
+        from collections import OrderedDict
+
+        self.trainer = trainer
+        self.capacity = capacity
+        self.hits = 0
+        self.misses = 0
+        self._d: "OrderedDict" = OrderedDict()
+
+    def lookup(self, batch, names, frame_ids):
+        """Per-sample precomp entries for this batch (tuple, len B), running
+        the batched precompute only when some sample is missing."""
+        B = len(names)
+        if frame_ids is None:
+            frame_ids = [()] * B
+        keys = [
+            (n, tuple(np.asarray(f).ravel().tolist()))
+            for n, f in zip(names, frame_ids)
+        ]
+        if all(k in self._d for k in keys):
+            self.hits += B
+            for k in keys:
+                self._d.move_to_end(k)
+            return tuple(self._d[k] for k in keys)
+        self.misses += B
+        pre = self.trainer.precompute_views(batch)
+        rows = next(iter(pre.values())).shape[0]  # B * n_frames
+        F = rows // B
+        parts = tuple(
+            jax.tree_util.tree_map(lambda a, i=i: a[i * F : (i + 1) * F], pre)
+            for i in range(B)
+        )
+        for k, p in zip(keys, parts):
+            self._d[k] = p
+            self._d.move_to_end(k)
+        while len(self._d) > self.capacity:
+            self._d.popitem(last=False)
+        return parts
 
 
 def _dump_visuals(trainer, cfg, gen_state, batch, it, epoch, save_dir, flags):
@@ -81,6 +135,7 @@ def run_training(
     start_epoch: int = 0,
     start_iter: int = 0,
     retrain: str = "",
+    retrain_disc: str = "",
     log_every: int = 20,
     ckpt_every_iters: int = 10000,
     seed: int = 0,
@@ -114,6 +169,18 @@ def run_training(
         )
         epoch0 = max(epoch0, start_epoch)
         print(f"loaded checkpoint {retrain} (epoch {epoch0})")
+    if retrain_disc and disc_state is not None:
+        # discriminator from a separate checkpoint (reference train.py:43,
+        # :171-178); the generator slot of that checkpoint is discarded
+        _, d2, _ = state_lib.load_any_checkpoint(retrain_disc, gen_state, disc_state)
+        if d2 is None:
+            raise ValueError(
+                f"--retrain_disc {retrain_disc!r}: checkpoint has no "
+                "discriminator state (reference .pth conversion covers the "
+                "generator only)"
+            )
+        disc_state = d2
+        print(f"loaded disc checkpoint {retrain_disc}")
     gen_state = replicate_state(gen_state, mesh)
     if disc_state is not None:
         disc_state = replicate_state(disc_state, mesh)
@@ -121,6 +188,15 @@ def run_training(
     log = TrainLog(save_dir, has_val=val_dataset is not None) if primary else None
     acc = MetricsAccumulator()
     timer = PhaseTimer(report_every=100)
+    # render cache: single-host only (entries are per-host device slices;
+    # under multi-host the global batch assembly would need per-process
+    # cache coherence for no extra win — each host could cache its own
+    # slice, left for when multi-host perf matters)
+    render_cache = (
+        RenderCache(trainer, cfg.cache_renders)
+        if cfg.cache_renders > 0 and n_proc == 1
+        else None
+    )
 
     # preemption-safe checkpointing (an improvement over the reference's
     # skip-and-continue-only failure handling, SURVEY.md §5): SIGTERM/SIGINT
@@ -160,6 +236,8 @@ def run_training(
             )
         for batch in it_batches:
             with timer.phase("setup"):
+                batch_names = batch.get("name")
+                batch_frame_ids = batch.get("frame_ids")
                 have_frames = _has_frames(batch)
                 if n_proc > 1:
                     # the skip decision must agree across hosts or the GSPMD
@@ -179,10 +257,19 @@ def run_training(
                     batch = multihost.make_global_batch(batch, mesh)
                 else:
                     batch = shard_batch(batch, mesh)
+                precomp = None
+                if (
+                    render_cache is not None
+                    and flags.use_2d
+                    and batch_names is not None
+                ):
+                    precomp = render_cache.lookup(
+                        batch, batch_names, batch_frame_ids
+                    )
                 rng, krng = jax.random.split(rng)
             with timer.phase("step"):
                 gen_state, disc_state, metrics = trainer.step(
-                    gen_state, disc_state, batch, krng, flags
+                    gen_state, disc_state, batch, krng, flags, precomp=precomp
                 )
             last_batch = batch
             last_flags = flags

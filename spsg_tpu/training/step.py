@@ -90,16 +90,98 @@ class Trainer:
 
     # -- public API ---------------------------------------------------------
 
-    def step(self, gen_state, disc_state, batch, rng, flags: StepFlags):
-        fn = self._jitted.get(flags)
+    def step(self, gen_state, disc_state, batch, rng, flags: StepFlags,
+             precomp=None):
+        key = (flags, precomp is not None)
+        fn = self._jitted.get(key)
         if fn is None:
             fn = jax.jit(
                 functools.partial(self._step, flags),
                 donate_argnums=(0, 1) if flags.train else (),
             )
-            self._jitted[flags] = fn
+            self._jitted[key] = fn
         vgg_params = self.vgg[1] if self.vgg is not None else None
-        return fn(gen_state, disc_state, batch, rng, vgg_params)
+        return fn(gen_state, disc_state, batch, rng, vgg_params, precomp)
+
+    def precompute_views(self, batch):
+        """Parameter-independent per-(chunk, frame) view precomputation.
+
+        The input and projected-target raycast marches, the depth->normals
+        chain, and the missing-color occupancy masks depend only on the batch
+        (SDF grids, depth images, cameras) — never on model parameters — yet
+        the reference recomputes them every step (train.py:563,590 and :537,
+        :546-554). Computing them once per (chunk, frame) and feeding the
+        results back as batch tensors removes ~half of the per-step march
+        cost with BIT-IDENTICAL losses: the cached march hits are exactly
+        what the in-step march would produce, and shading stays in-step so
+        color augmentation and curriculum flags still apply.
+
+        Returns a dict of arrays in flattened (B*F, ...) frame-batch layout:
+          in_hit/in_hit_idx/in_depth         input-grid surface hits
+          tgt_hit/tgt_hit_idx/tgt_depth      target-grid hits (project_targets)
+          images_normals (B*F,H,W,3)         from the depth chain
+          frames_ok (B*F,)                   depth holes filled successfully
+          missing2d/tgt_mask2d (B*F,H,W) u8  only when weight_missing_color>1
+        """
+        fn = self._jitted.get("__precompute__")
+        if fn is None:
+            fn = jax.jit(self._precompute_views)
+            self._jitted["__precompute__"] = fn
+        return fn(batch)
+
+    def _precompute_views(self, batch):
+        cfg = self.cfg
+        trunc = cfg.truncation
+        rc = _raycast_cfg(cfg)
+
+        images_depth = batch["images_depth"]
+        if images_depth.ndim == 4:  # (B, F, H, W)
+            n_frames = images_depth.shape[1]
+            images_depth = images_depth.reshape((-1,) + images_depth.shape[2:])
+            view = batch["images_view"].reshape(-1, 4, 4)
+            intr = batch["images_intrinsic"].reshape(-1, 4)
+        else:
+            n_frames = 1
+            view = batch["images_view"]
+            intr = batch["images_intrinsic"]
+
+        def rep(g):
+            return jnp.repeat(g, n_frames, axis=0) if n_frames > 1 else g
+
+        target_sdf = rep(geo_losses.compute_targets(batch["target_sdf"], trunc))
+        input_sdf = rep(batch["input"][..., 0])
+        input_valid = jnp.abs(input_sdf) < trunc
+        tgt_valid = jnp.abs(target_sdf) < trunc
+
+        images_normals, _, frames_ok = depth_ops.depth_to_normals(
+            images_depth, intr, cfg.max_depth_fill_iters
+        )
+
+        out = dict(images_normals=images_normals, frames_ok=frames_ok)
+        in_hits = find_surface_crossings(input_sdf, input_valid, view, intr, rc)
+        out.update(
+            in_hit=in_hits["hit"], in_hit_idx=in_hits["hit_idx"],
+            in_depth=in_hits["depth"],
+        )
+        if cfg.project_targets:
+            tgt_hits = find_surface_crossings(target_sdf, tgt_valid, view, intr, rc)
+            out.update(
+                tgt_hit=tgt_hits["hit"], tgt_hit_idx=tgt_hits["hit_idx"],
+                tgt_depth=tgt_hits["depth"],
+            )
+        if cfg.weight_missing_color > 1:
+            from ..ops.raycast import raycast_occ
+
+            rc_occ = dataclasses.replace(
+                rc, depth_max=cfg.raycast_occ_depth_max / cfg.voxelsize
+            )
+            input_occ = jnp.abs(input_sdf) < trunc - 0.01
+            missing3d = geo_losses.missing_geo_mask(input_occ, target_sdf, trunc)
+            out["missing2d"] = raycast_occ(missing3d, view, intr, rc_occ)
+            out["tgt_mask2d"] = raycast_occ(
+                jnp.abs(target_sdf) < 1, view, intr, rc_occ
+            )
+        return out
 
     # -- internals ----------------------------------------------------------
 
@@ -139,7 +221,7 @@ class Trainer:
         return out, spectral_stats
 
     def _forward_losses(self, params, batch_stats, batch, flags: StepFlags,
-                        vgg_params=None):
+                        vgg_params=None, precomp=None):
         """Everything except the adversarial generator term. Returns
         ((loss_rest, synth_for_disc), aux)."""
         cfg = self.cfg
@@ -202,7 +284,7 @@ class Trainer:
                 sw_real, sw_fake, wcd,
             ) = self._2d_losses(
                 batch, flags, target_sdf, input_occ, pred_sdf_g, pred_color, pred_sem,
-                surface_pred, vgg_params=vgg_params,
+                surface_pred, vgg_params=vgg_params, precomp=precomp,
             )
             loss = loss + loss2d
             metrics.update(metrics2d)
@@ -223,7 +305,7 @@ class Trainer:
 
     def _2d_losses(
         self, batch, flags, target_sdf, input_occ, pred_sdf_g, pred_color, pred_sem,
-        surface_pred, vgg_params=None,
+        surface_pred, vgg_params=None, precomp=None,
     ):
         """The 2D view-guided block (reference train.py:524-752), minus the
         adversarial terms which are handled outside."""
@@ -268,9 +350,16 @@ class Trainer:
         target_colors255 = rep(batch["target_colors"])
         B = target_sdf.shape[0]  # = original B * n_frames from here on
 
-        images_normals, _, frames_ok = depth_ops.depth_to_normals(
-            images_depth, intr, cfg.max_depth_fill_iters
-        )
+        if precomp is not None:
+            # parameter-independent view precomputation (precompute_views):
+            # the depth chain, occupancy masks, and the input/target march
+            # hits arrive as batch tensors — bit-identical to recomputing
+            images_normals = precomp["images_normals"]
+            frames_ok = precomp["frames_ok"]
+        else:
+            images_normals, _, frames_ok = depth_ops.depth_to_normals(
+                images_depth, intr, cfg.max_depth_fill_iters
+            )
         # reference skips the sample when holes remain (train.py:539-541)
         gate2d = jnp.all(frames_ok).astype(jnp.float32)
 
@@ -288,16 +377,20 @@ class Trainer:
         weight_color = None
         missing2d = None
         if cfg.weight_missing_color > 1:
-            from ..ops.raycast import raycast_occ
+            if precomp is not None:
+                missing2d = precomp["missing2d"].astype(bool)
+                tgt_mask2d = precomp["tgt_mask2d"].astype(bool)
+            else:
+                from ..ops.raycast import raycast_occ
 
-            # the reference's RaycastOcc uses a shallower 4 m range than the
-            # color raycaster (train.py:146-148)
-            rc_occ = dataclasses.replace(
-                rc, depth_max=cfg.raycast_occ_depth_max / cfg.voxelsize
-            )
-            missing3d = geo_losses.missing_geo_mask(input_occ, target_sdf, trunc)
-            missing2d = raycast_occ(missing3d, view, intr, rc_occ).astype(bool)
-            tgt_mask2d = raycast_occ(jnp.abs(target_sdf) < 1, view, intr, rc_occ).astype(bool)
+                # the reference's RaycastOcc uses a shallower 4 m range than
+                # the color raycaster (train.py:146-148)
+                rc_occ = dataclasses.replace(
+                    rc, depth_max=cfg.raycast_occ_depth_max / cfg.voxelsize
+                )
+                missing3d = geo_losses.missing_geo_mask(input_occ, target_sdf, trunc)
+                missing2d = raycast_occ(missing3d, view, intr, rc_occ).astype(bool)
+                tgt_mask2d = raycast_occ(jnp.abs(target_sdf) < 1, view, intr, rc_occ).astype(bool)
             weight_color = jnp.where(tgt_mask2d & missing2d, cfg.weight_missing_color, 1.0)
 
         # --- target grids (train.py:579-616) ---
@@ -336,7 +429,40 @@ class Trainer:
         n_stack = 3 if cfg.project_targets else 2
         stack = lambda *xs: jnp.concatenate(xs, axis=0)
         sg = jax.lax.stop_gradient
-        if cfg.fuse_raycast:
+        if precomp is not None:
+            # cached input/target march hits: only the shading gathers run
+            # in-step (cheap); the prediction march stays — it depends on the
+            # evolving pred SDF
+            in_hits = {
+                "hit": precomp["in_hit"], "hit_idx": precomp["in_hit_idx"],
+                "depth": precomp["in_depth"],
+            }
+            rc_in = jax.tree_util.tree_map(
+                sg,
+                shade_hits(
+                    sg(input_sdf), sg(input_colors01), sg(input_normals),
+                    jnp.zeros(input_sdf.shape + (14,), jnp.float32),
+                    in_hits, rc,
+                ),
+            )
+            rc_tgt = None
+            if cfg.project_targets:
+                tgt_hits = {
+                    "hit": precomp["tgt_hit"], "hit_idx": precomp["tgt_hit_idx"],
+                    "depth": precomp["tgt_depth"],
+                }
+                rc_tgt = jax.tree_util.tree_map(
+                    sg,
+                    shade_hits(
+                        sg(target_sdf), sg(tgt_colors01), tgt_normals,
+                        sg(sem_onehot), tgt_hits, rc,
+                    ),
+                )
+            rc_pred = raycast(
+                pred_sdf_g, surface_pred, color01, pred_normals,
+                semantic_grid, view, intr, rc,
+            )
+        elif cfg.fuse_raycast:
             if cfg.project_targets:
                 s_sdf = stack(sg(input_sdf), sg(target_sdf), sg(pred_sdf_g))
                 s_valid = stack(input_valid, tgt_valid, surface_pred)
@@ -552,11 +678,18 @@ class Trainer:
         )
 
     def _step(self, flags: StepFlags, gen_state: GenState, disc_state, batch, rng,
-              vgg_params=None):
+              vgg_params=None, precomp=None):
         cfg = self.cfg
+        if isinstance(precomp, (list, tuple)):
+            # per-sample cache entries (loop.RenderCache): concat inside the
+            # compiled program so assembly costs no extra host dispatch
+            precomp = {
+                k: jnp.concatenate([p[k] for p in precomp], axis=0)
+                for k in precomp[0]
+            }
 
         fwd = lambda p: self._forward_losses(
-            p, gen_state.batch_stats, batch, flags, vgg_params
+            p, gen_state.batch_stats, batch, flags, vgg_params, precomp
         )
         (loss_and_synth, vjp_fn, aux) = jax.vjp(fwd, gen_state.params, has_aux=True)
         loss_rest, synth = loss_and_synth
@@ -653,12 +786,24 @@ class Trainer:
             updates, new_opt = self.gen_tx.update(
                 grads_params, gen_state.opt_state, gen_state.params
             )
-            new_gen_state = GenState(
+            stepped = GenState(
                 params=optax.apply_updates(gen_state.params, updates),
                 batch_stats=aux["new_bstats"],
                 opt_state=new_opt,
                 step=gen_state.step + 1,
             )
+            if cfg.skip_batch_on_bad_depth and flags.use_2d:
+                # exact reference parity (train.py:539-541): unfillable depth
+                # skips the WHOLE batch — no optimizer/batch-stats/step
+                # change at all (the disc update above is already predicated
+                # on the same gate)
+                new_gen_state = jax.tree_util.tree_map(
+                    lambda old, new: jnp.where(aux["gate2d"] > 0, new, old),
+                    gen_state,
+                    stepped,
+                )
+            else:
+                new_gen_state = stepped
 
         metrics["loss"] = total_loss
         return new_gen_state, new_disc_state, metrics

@@ -96,3 +96,113 @@ def test_sparse_dense_inverse(rng):
     back = formats.sparse_to_dense(l2, v2[:, None], dims, np.inf)
     mask = np.abs(grid) < 3.0
     np.testing.assert_allclose(back[mask], grid[mask])
+
+
+# ---------------------------------------------------------------------------
+# golden BYTES fixtures, hand-authored straight from the reference reader's
+# field order (torch/data_util.py:70-184) — NOT produced by save_sdf, so a
+# same-bug-in-reader-and-writer round-trip cannot mask a format drift
+# (VERDICT r2 item 8)
+# ---------------------------------------------------------------------------
+
+
+def _golden_header(dimx, dimy, dimz, voxelsize, w2g16):
+    import struct
+
+    b = struct.pack("<QQQ", dimx, dimy, dimz)
+    b += struct.pack("<f", voxelsize)
+    b += struct.pack("<16f", *w2g16)
+    return b
+
+
+def test_golden_sdf_chunk_bytes(tmp_path):
+    """Chunk-file layout: header | sparse locs(xyz u32)+sdf(meters f32) |
+    num_known u64 + known u8[N] | num_color u64 + color u8[N*3] |
+    num_sem u64 + sem u8[N]."""
+    import struct
+
+    dimx, dimy, dimz = 3, 2, 2  # distinct dims catch axis transposition
+    n = dimx * dimy * dimz
+    vs = 0.05
+    w2g = list(range(16))
+    b = _golden_header(dimx, dimy, dimz, vs, w2g)
+    # two sparse voxels, locs in FILE xyz order, sdf in METERS
+    b += struct.pack("<Q", 2)
+    b += struct.pack("<3I", 1, 0, 1) + struct.pack("<3I", 2, 1, 0)
+    b += struct.pack("<2f", 0.05, -0.1)
+    # inline known: raw values 0..11 (z-major: z*dimy*dimx + y*dimx + x)
+    b += struct.pack("<Q", n) + bytes(range(n))
+    # inline colors: 0..35
+    b += struct.pack("<Q", n) + bytes(range(n * 3))
+    # inline semantics: 100..111
+    b += struct.pack("<Q", n) + bytes(range(100, 100 + n))
+    p = tmp_path / "golden__inc__0.sdf"
+    p.write_bytes(b)
+
+    out = formats.load_sdf(str(p), load_known=True, load_color=True, load_semantic=True)
+    assert out.dims == (dimz, dimy, dimx) == (2, 2, 3)
+    assert out.voxelsize == np.float32(vs)
+    np.testing.assert_array_equal(out.world2grid, np.arange(16, dtype=np.float32).reshape(4, 4))
+    # locs flipped to zyx; sdf divided by voxelsize (meters -> voxels)
+    np.testing.assert_array_equal(out.locs, [[1, 0, 1], [0, 1, 2]])
+    np.testing.assert_allclose(out.sdf, [1.0, -2.0], rtol=1e-6)
+    # known fixups (data_util.py:105-108): sdf=1.0 in [-1,1] -> known=1 at
+    # zyx (1,0,1) (raw flat index 7); sdf=-2.0 matches neither mask
+    expect_known = np.arange(n, dtype=np.uint8).reshape(2, 2, 3)
+    expect_known[1, 0, 1] = 1
+    np.testing.assert_array_equal(out.known, expect_known)
+    np.testing.assert_array_equal(
+        out.colors, np.arange(n * 3, dtype=np.uint8).reshape(2, 2, 3, 3)
+    )
+    assert out.colors[1, 0, 2].tolist() == [24, 25, 26]  # flat zyx idx 8
+    np.testing.assert_array_equal(
+        out.semantics, np.arange(100, 100 + n, dtype=np.uint8).reshape(2, 2, 3)
+    )
+
+
+def test_golden_scene_sidecar_bytes(tmp_path):
+    """Scene layout: bare .sdf + .colors sidecar (sparse) + .semantics
+    sidecar (dense) + .knw (header + dense u8)."""
+    import struct
+
+    dimx, dimy, dimz = 3, 2, 2
+    n = dimx * dimy * dimz
+    vs = 0.02
+    b = _golden_header(dimx, dimy, dimz, vs, [float(i) for i in range(16)])
+    b += struct.pack("<Q", 2)
+    b += struct.pack("<3I", 1, 0, 1) + struct.pack("<3I", 2, 1, 0)
+    b += struct.pack("<2f", 0.02, -0.04)
+    sdf_p = tmp_path / "scene.sdf"
+    sdf_p.write_bytes(b)
+
+    cb = struct.pack("<QQQ", dimx, dimy, dimz)
+    cb += struct.pack("<Q", 2) + bytes([10, 20, 30, 40, 50, 60])
+    (tmp_path / "scene.colors").write_bytes(cb)
+
+    sb = struct.pack("<QQQ", dimx, dimy, dimz) + bytes(range(200, 200 + n))
+    (tmp_path / "scene.semantics").write_bytes(sb)
+
+    kb = _golden_header(dimx, dimy, dimz, vs, [0.0] * 16) + bytes(range(n))
+    (tmp_path / "scene.knw").write_bytes(kb)
+
+    out = formats.load_sdf(
+        str(sdf_p),
+        load_color=True,
+        load_semantic=True,
+        color_path=str(tmp_path / "scene.colors"),
+        semantic_path=str(tmp_path / "scene.semantics"),
+    )
+    np.testing.assert_allclose(out.sdf, [1.0, -2.0], rtol=1e-6)
+    # sidecar colors scatter to the sparse locs, 0 elsewhere
+    expect_colors = np.zeros((2, 2, 3, 3), np.uint8)
+    expect_colors[1, 0, 1] = [10, 20, 30]
+    expect_colors[0, 1, 2] = [40, 50, 60]
+    np.testing.assert_array_equal(out.colors, expect_colors)
+    np.testing.assert_array_equal(
+        out.semantics, np.arange(200, 200 + n, dtype=np.uint8).reshape(2, 2, 3)
+    )
+
+    known, kvs, kw2g = formats.load_known(str(tmp_path / "scene.knw"))
+    assert kvs == np.float32(vs)
+    np.testing.assert_array_equal(known, np.arange(n, dtype=np.uint8).reshape(2, 2, 3))
+    np.testing.assert_array_equal(kw2g, np.zeros((4, 4), np.float32))

@@ -236,3 +236,138 @@ def test_multi_frame_supervision():
     _, _, metrics = trainer.step(gen_state, disc_state, batch, jax.random.PRNGKey(1), flags)
     for k in ("loss", "loss_depth", "loss_color", "loss_disc", "loss_gen"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_precomputed_views_step_bit_identical():
+    """The cached-render path (Trainer.precompute_views + step(precomp=...))
+    must produce bit-identical losses and parameter updates to the in-step
+    recompute path: the cached march hits are exactly what the in-step march
+    would produce, and shading stays in-step (VERDICT r2 item 3)."""
+    cfg = _tiny_cfg(weight_missing_color=2.0)  # exercise the occ-mask cache too
+    trainer = Trainer(cfg)
+    batch = _batch(cfg, with_frames=True)
+    flags = StepFlags(
+        pred_sdf=True, pred_color=True, pred_semantic=True, use_2d=True, use_disc=True
+    )
+    precomp = trainer.precompute_views(batch)
+    for k in ("in_hit", "in_hit_idx", "in_depth", "tgt_hit", "images_normals",
+              "frames_ok", "missing2d", "tgt_mask2d"):
+        assert k in precomp, k
+
+    gen0, disc0 = init_states(cfg, jax.random.PRNGKey(0))
+    g_a, d_a, m_a = trainer.step(gen0, disc0, batch, jax.random.PRNGKey(1), flags)
+    gen0, disc0 = init_states(cfg, jax.random.PRNGKey(0))
+    g_b, d_b, m_b = trainer.step(
+        gen0, disc0, batch, jax.random.PRNGKey(1), flags, precomp=precomp
+    )
+    for k in m_a:
+        np.testing.assert_array_equal(
+            np.asarray(m_a[k]), np.asarray(m_b[k]), err_msg=k
+        )
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(g_a.params)[0],
+        jax.tree_util.tree_flatten_with_path(g_b.params)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb), err_msg=str(pa))
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(d_a.params)[0],
+        jax.tree_util.tree_flatten_with_path(d_b.params)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb), err_msg=str(pa))
+
+    # per-sample cache-entry assembly (loop.RenderCache splits a batched
+    # precompute into (F, ...) slices and passes them back as a tuple; the
+    # step concatenates inside the compiled program) must also be
+    # bit-identical
+    B = cfg.batch_size
+    rows = next(iter(precomp.values())).shape[0]
+    F = rows // B
+    parts = tuple(
+        jax.tree_util.tree_map(lambda a, i=i: a[i * F : (i + 1) * F], precomp)
+        for i in range(B)
+    )
+    gen0, disc0 = init_states(cfg, jax.random.PRNGKey(0))
+    _, _, m_c = trainer.step(
+        gen0, disc0, batch, jax.random.PRNGKey(1), flags, precomp=parts
+    )
+    for k in m_a:
+        np.testing.assert_array_equal(
+            np.asarray(m_a[k]), np.asarray(m_c[k]), err_msg=k
+        )
+
+
+def test_render_cache_lru():
+    """loop.RenderCache: second lookup of the same (name, frames) keys is a
+    full hit returning the stored entries; capacity bounds evict LRU-first."""
+    from spsg_tpu.training.loop import RenderCache
+
+    cfg = _tiny_cfg()
+    trainer = Trainer(cfg)
+    batch = _batch(cfg, with_frames=True)
+    rc = RenderCache(trainer, capacity=4)
+    names = ["chunk_a", "chunk_b"]
+    fids = [np.array([3]), np.array([7])]
+    p1 = rc.lookup(batch, names, fids)
+    assert rc.misses == 2 and rc.hits == 0 and len(p1) == 2
+    p2 = rc.lookup(batch, names, fids)
+    assert rc.hits == 2
+    for a, b in zip(p1, p2):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), k)
+
+    # same chunk, different frame selection = different key (miss)
+    rc.lookup(batch, names, [np.array([4]), np.array([7])])
+    assert rc.misses == 4
+
+    # capacity 1: every 2-sample batch overflows, so nothing ever hits
+    rc1 = RenderCache(trainer, capacity=1)
+    rc1.lookup(batch, names, fids)
+    rc1.lookup(batch, names, fids)
+    assert rc1.hits == 0 and len(rc1._d) == 1
+
+
+def test_skip_batch_on_bad_depth_exact_parity():
+    """cfg.skip_batch_on_bad_depth replicates the reference's whole-batch
+    skip on unfillable depth holes (train.py:539-541): no generator OR
+    discriminator state change at all. Default config only zeroes the 2D
+    terms (documented deviation, step.py module docstring)."""
+    cfg = _tiny_cfg(skip_batch_on_bad_depth=True)
+    trainer = Trainer(cfg)
+    batch = _batch(cfg, with_frames=True)
+    # an all-zero depth frame is unfillable at any iteration budget
+    d = np.array(batch["images_depth"])
+    d[0] = 0.0
+    bad = dict(batch, images_depth=jnp.asarray(d))
+    flags = StepFlags(
+        pred_sdf=True, pred_color=True, pred_semantic=True, use_2d=True, use_disc=True
+    )
+
+    # train steps DONATE the input states — snapshot to host first
+    gen0, disc0 = init_states(cfg, jax.random.PRNGKey(0))
+    gp0 = jax.tree_util.tree_map(lambda a: np.array(a), gen0.params)
+    dp0 = jax.tree_util.tree_map(lambda a: np.array(a), disc0.params)
+    step0 = int(gen0.step)
+    g1, d1, m1 = trainer.step(gen0, disc0, bad, jax.random.PRNGKey(1), flags)
+    # (metrics report the RAW per-term losses even when gated — the skip
+    # contract is on the states, asserted below)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gp0)[0],
+        jax.tree_util.tree_flatten_with_path(g1.params)[0],
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b), err_msg=str(pa))
+    assert int(g1.step) == step0
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(dp0)[0],
+        jax.tree_util.tree_flatten_with_path(d1.params)[0],
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b), err_msg=str(pa))
+
+    # control: clean depth -> the same config does update
+    gen0, disc0 = init_states(cfg, jax.random.PRNGKey(0))
+    g2, _, _ = trainer.step(gen0, disc0, batch, jax.random.PRNGKey(1), flags)
+    assert int(g2.step) == step0 + 1
+    leaves2 = jax.tree_util.tree_leaves(g2.params)
+    assert any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(gp0), leaves2)
+    )

@@ -1,0 +1,145 @@
+"""Pretrained-VGG19 conversion path, proven end-to-end with a FABRICATED
+torchvision-format .pth (this image has no torchvision and no egress, so the
+real checkpoint cannot be downloaded — VERDICT r2 item 5): a user with real
+weights has a verified one-command path:
+
+  python tools/convert_vgg19.py --src vgg19-dcbb9e9d.pth --out vgg.npz
+  SPSG_VGG_WEIGHTS=vgg.npz python -m spsg_tpu.cli.train ...
+
+Reference loads torchvision vgg19 at runtime (torch/style.py:108-129)."""
+
+import os
+import subprocess
+import sys
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# torchvision vgg19 `features` indices of the 8 convs the extractor keeps
+CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 16]
+WIDTHS = [64, 64, 128, 128, 256, 256, 256, 256]
+
+
+def _fabricate_vgg19_pth(path):
+    """A state dict with torchvision vgg19's exact key names/shapes (OIHW),
+    deterministic values so the round-trip is checkable."""
+    rng = np.random.default_rng(7)
+    sd = {}
+    in_ch = 3
+    for fi, width in zip(CONV_IDX, WIDTHS):
+        sd[f"features.{fi}.weight"] = torch.from_numpy(
+            rng.standard_normal((width, in_ch, 3, 3)).astype(np.float32) * 0.05
+        )
+        sd[f"features.{fi}.bias"] = torch.from_numpy(
+            rng.standard_normal((width,)).astype(np.float32) * 0.05
+        )
+        in_ch = width
+    torch.save(sd, path)
+    return sd
+
+
+def test_convert_vgg19_roundtrip_and_env_loading(tmp_path):
+    pth = str(tmp_path / "vgg19-fabricated.pth")
+    npz = str(tmp_path / "vgg19_conv8.npz")
+    sd = _fabricate_vgg19_pth(pth)
+
+    # the documented one-command conversion
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "convert_vgg19.py"),
+         "--src", pth, "--out", npz],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.isfile(npz)
+
+    # npz carries the exact converted tensors (OIHW -> HWIO)
+    data = np.load(npz)
+    for i, fi in enumerate(CONV_IDX):
+        w = sd[f"features.{fi}.weight"].numpy()
+        np.testing.assert_array_equal(
+            data[f"conv_{i + 1}.kernel"], np.transpose(w, (2, 3, 1, 0))
+        )
+        np.testing.assert_array_equal(
+            data[f"conv_{i + 1}.bias"], sd[f"features.{fi}.bias"].numpy()
+        )
+
+    from spsg_tpu.models.vgg import load_vgg_for_style
+
+    # 1) SPSG_VGG_WEIGHTS -> converted .npz loads WITHOUT the random-weights
+    #    warning and produces working features
+    old = os.environ.get("SPSG_VGG_WEIGHTS")
+    try:
+        os.environ["SPSG_VGG_WEIGHTS"] = npz
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any fallback warning -> failure
+            model, params = load_vgg_for_style()
+        feats = model.apply(
+            {"params": params}, jnp.ones((1, 32, 32, 3), jnp.float32)
+        )
+        assert feats[0].shape == (1, 8, 8, 256)  # conv3_4 after two pools
+        assert bool(jnp.all(jnp.isfinite(feats[0])))
+
+        # 2) SPSG_VGG_WEIGHTS can also point straight at the .pth
+        os.environ["SPSG_VGG_WEIGHTS"] = pth
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            model2, params2 = load_vgg_for_style()
+        np.testing.assert_array_equal(
+            np.asarray(params["conv_8"]["kernel"]),
+            np.asarray(params2["conv_8"]["kernel"]),
+        )
+    finally:
+        if old is None:
+            os.environ.pop("SPSG_VGG_WEIGHTS", None)
+        else:
+            os.environ["SPSG_VGG_WEIGHTS"] = old
+
+
+def test_vgg_style_loss_uses_loaded_weights(tmp_path):
+    """The train-time consumer (losses/style.py via Trainer) picks up the
+    converted weights: style loss differs from the random-fallback value."""
+    pth = str(tmp_path / "vgg19-fabricated.pth")
+    npz = str(tmp_path / "vgg19_conv8.npz")
+    _fabricate_vgg19_pth(pth)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "convert_vgg19.py"),
+         "--src", pth, "--out", npz],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+
+    from spsg_tpu.losses.style import style_content_loss
+    from spsg_tpu.models.vgg import load_vgg_for_style
+
+    img_a = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 3)), jnp.float32)
+    img_b = jnp.asarray(np.random.default_rng(1).random((1, 32, 32, 3)), jnp.float32)
+
+    def _style(model, params):
+        fa = model.apply({"params": params}, img_a)
+        fb = model.apply({"params": params}, img_b)
+        loss_style, _ = style_content_loss(fa, fb, True, False)
+        return float(loss_style)
+
+    old = os.environ.get("SPSG_VGG_WEIGHTS")
+    try:
+        os.environ["SPSG_VGG_WEIGHTS"] = npz
+        model, params = load_vgg_for_style()
+        loss_loaded = _style(model, params)
+        os.environ["SPSG_VGG_WEIGHTS"] = str(tmp_path / "missing.npz")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            model_r, params_r = load_vgg_for_style()
+        loss_random = _style(model_r, params_r)
+        assert np.isfinite(loss_loaded) and np.isfinite(loss_random)
+        assert loss_loaded != loss_random
+    finally:
+        if old is None:
+            os.environ.pop("SPSG_VGG_WEIGHTS", None)
+        else:
+            os.environ["SPSG_VGG_WEIGHTS"] = old
