@@ -269,13 +269,27 @@ def make_chunk_batch(
         render = jax.jit(
             lambda s, v, c, vw, i: raycast_mod.raycast(s, v, c, None, None, vw, i, cfg)
         )
-        out = render(
-            jnp.asarray(sdf_t),
-            jnp.asarray(valid),
-            jnp.asarray(colors01),
-            jnp.asarray(views),
-            jnp.asarray(intr),
-        )
+        # data generation must never pay an accelerator compile: on the
+        # relay-attached TPU the remote compile of this render costs minutes
+        # (and was the phase where both r1/r2 driver bench runs died, see
+        # BENCH_r0{1,2}.json) — a host-CPU compile takes seconds. Fall back
+        # to the default device when no separate CPU backend exists (pure
+        # CPU runs).
+        try:
+            gen_dev = jax.devices("cpu")[0]
+        except RuntimeError:
+            gen_dev = None
+        import contextlib
+
+        ctx = jax.default_device(gen_dev) if gen_dev is not None else contextlib.nullcontext()
+        with ctx:
+            out = render(
+                jnp.asarray(sdf_t),
+                jnp.asarray(valid),
+                jnp.asarray(colors01),
+                jnp.asarray(views),
+                jnp.asarray(intr),
+            )
         depth = np.asarray(out.depth)
         color = np.asarray(out.color)
         depth_m = np.where(np.isfinite(depth), depth * voxelsize, 0.0)
