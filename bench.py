@@ -152,6 +152,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         weight_depth_loss=1.0 if use_2d else 0.0,
         max_depth_fill_iters=0,  # synthetic frames are hole-free
         compute_dtype="bfloat16" if bf16 else None,
+        channels_first=getattr(args, "channels_first", False),
         remat=remat,
         **({"fuse_raycast": False} if getattr(args, "unfuse", False)
            else {"fuse_raycast": True} if getattr(args, "fuse", False) else {}),
@@ -232,6 +233,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
             "bf16": bool(bf16),
             "remat": bool(remat),
             "fused_raycast": cfg.fuse_raycast,
+            "channels_first": cfg.channels_first,
             "cached_renders": precomp is not None,
             "straggler_frac": cfg.straggler_frac,
             "mode": args.mode,
@@ -335,6 +337,11 @@ def main():
     p.add_argument("--straggler", type=float, default=None,
                    help="march straggler-compaction fraction override "
                    "(default: TrainConfig default; 0 = off)")
+    p.add_argument("--channels_first", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="NCDHW generator convs (1.5x faster in a same-C conv "
+                   "micro-probe but ~4% SLOWER in the real model end-to-end "
+                   "— docs/DESIGN.md layout experiments)")
     p.add_argument("--precomp", action=argparse.BooleanOptionalAction, default=True,
                    help="cache the parameter-independent input/target renders "
                    "outside the step (bit-identical; models the training "

@@ -23,6 +23,7 @@ at model.py:183-191 for a z-extent > 1.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -37,9 +38,49 @@ def torch_kernel_init():
     return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
+class _ConvChannelsFirst(nn.Module):
+    """NCDHW conv with nn.Conv-identical parameters (kernel (kz,ky,kx,I,O),
+    bias (O,), same init) so checkpoints are layout-agnostic. Channel-first
+    is 1.56x faster than NDHWC in an isolated same-C conv stack
+    (tools/layout_probe.py: 138 vs 216 ms, 6-conv nf=20, fwd+bwd, bf16,
+    v5e) but measured ~4% SLOWER in the full model end-to-end (strided
+    convs, varying C, upsampling and the entry/exit transposes eat the
+    win), so it is OFF by default — kept as a verified experiment knob
+    (docs/DESIGN.md layout experiments)."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int]
+    padding: list
+    kernel_dilation: Tuple[int, int, int]
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[1]
+        kernel = self.param(
+            "kernel",
+            torch_kernel_init(),
+            self.kernel_size + (in_ch, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        cdt = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(cdt),
+            jnp.transpose(kernel.astype(cdt), (4, 3, 0, 1, 2)),
+            self.strides,
+            self.padding,
+            rhs_dilation=self.kernel_dilation,
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        )
+        return y + bias.astype(y.dtype)[None, :, None, None, None]
+
+
 class ConvBlock(nn.Module):
     """Conv3d -> optional LeakyReLU(0.2) -> optional BatchNorm (reference
-    ordering inside every nn.Sequential of model.py)."""
+    ordering inside every nn.Sequential of model.py). With
+    ``channels_first`` the block computes in NCDHW (same parameters)."""
 
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
@@ -49,24 +90,37 @@ class ConvBlock(nn.Module):
     act: bool = True
     bn: bool = True
     dtype: Optional[jnp.dtype] = None
+    channels_first: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         pad = [(self.padding, self.padding)] * 3
-        x = nn.Conv(
-            self.features,
-            kernel_size=self.kernel,
-            strides=(self.stride,) * 3,
-            padding=pad,
-            kernel_dilation=(self.dilation,) * 3,
-            kernel_init=torch_kernel_init(),
-            dtype=self.dtype,
-        )(x)
+        if self.channels_first:
+            x = _ConvChannelsFirst(
+                self.features,
+                kernel_size=self.kernel,
+                strides=(self.stride,) * 3,
+                padding=pad,
+                kernel_dilation=(self.dilation,) * 3,
+                dtype=self.dtype,
+                name="Conv_0",  # parameter path identical to the NDHWC nn.Conv
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=self.kernel,
+                strides=(self.stride,) * 3,
+                padding=pad,
+                kernel_dilation=(self.dilation,) * 3,
+                kernel_init=torch_kernel_init(),
+                dtype=self.dtype,
+            )(x)
         if self.act:
             x = nn.leaky_relu(x, negative_slope=0.2)
         if self.bn:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, axis=1 if self.channels_first else -1,
             )(x)
         return x
 
@@ -77,6 +131,14 @@ def upsample2x(x):
     x = jnp.repeat(x, 2, axis=1)
     x = jnp.repeat(x, 2, axis=2)
     x = jnp.repeat(x, 2, axis=3)
+    return x
+
+
+def upsample2x_cf(x):
+    """Channel-first variant: spatial dims are axes 2..4."""
+    x = jnp.repeat(x, 2, axis=2)
+    x = jnp.repeat(x, 2, axis=3)
+    x = jnp.repeat(x, 2, axis=4)
     return x
 
 
@@ -91,6 +153,11 @@ class GeneratorConfig:
     input_mask: bool = True  # nf_in_color > 3 (model.py:172)
     num_classes: int = NUM_CLASSES
     dtype: Optional[str] = None  # 'bfloat16' for MXU-friendly compute
+    # compute the whole network in NCDHW; parameters and the (channel-last)
+    # call signature are unchanged, so checkpoints and callers are
+    # layout-agnostic. Faster in a conv micro-probe, ~4% slower in the real
+    # model (docs/DESIGN.md layout experiments) -> default off
+    channels_first: bool = False
     # rematerialize activations in the backward pass (jax.checkpoint per
     # conv block): trades ~30% more FLOPs for large activation-memory savings
     # — enables bigger batches on one chip
@@ -116,12 +183,22 @@ class Generator(nn.Module):
         model.py:345-396)."""
         cfg = self.cfg
         nf = cfg.nf
+        cf = cfg.channels_first
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
         d = cfg.max_dilation
         dil = [min(2, d), min(4, d), min(8, d), min(16, d)]
         Block = (
             nn.remat(ConvBlock, static_argnums=(2,)) if cfg.remat else ConvBlock
         )
+        if cf:
+            Block = functools.partial(Block, channels_first=True)
+        # layout helpers: preprocessing stays channel-last (cheap elementwise);
+        # branches run in the configured layout; outputs return channel-last
+        chax = 1 if cf else -1
+        cat = lambda *xs: jnp.concatenate(xs, axis=chax)
+        up = upsample2x_cf if cf else upsample2x
+        tr_in = (lambda t: jnp.transpose(t, (0, 4, 1, 2, 3))) if cf else (lambda t: t)
+        tr_out = (lambda t: jnp.transpose(t, (0, 2, 3, 4, 1))) if cf else (lambda t: t)
 
         if cfg.input_mask:
             x = jnp.concatenate([x, mask], axis=-1)
@@ -133,6 +210,7 @@ class Generator(nn.Module):
         x = jnp.concatenate([x_geo, x[..., 1:]], axis=-1)
         if dtype is not None:
             x_geo = x_geo.astype(dtype)
+        x_geo = tr_in(x_geo)
 
         # === geometry branch (model.py:194-242) ===
         g = Block(nf // 2, (5, 5, 5), 1, 2, dtype=dtype, name="geo_0a")(x_geo, train)
@@ -144,10 +222,10 @@ class Generator(nn.Module):
         g = Block(
             2 * nf, (3, 3, 3), 1, dil[0], dilation=dil[0], dtype=dtype, name="geo_1d"
         )(g, train)
-        g = upsample2x(g)
+        g = up(g)
         g = Block(nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_2a")(g, train)
         g = Block(nf, (3, 3, 3), 1, 1, dtype=dtype, name="geo_2b")(g, train)
-        geo = upsample2x(g)
+        geo = up(g)
 
         occ = Block(nf // 2, (3, 3, 3), 1, 1, dtype=dtype, name="geo_occ_a")(geo, train)
         out_occ = Block(1, (3, 3, 3), 1, 1, act=False, bn=False, name="geo_occ_b")(
@@ -170,24 +248,24 @@ class Generator(nn.Module):
                 enc_in = x_color
             if dtype is not None:
                 enc_in = enc_in.astype(dtype)
-            e = Block(nf, (5, 5, 5), 1, 2, dtype=dtype, name="encoder_0a")(enc_in, train)
+            e = Block(nf, (5, 5, 5), 1, 2, dtype=dtype, name="encoder_0a")(tr_in(enc_in), train)
             e = Block(2 * nf, (4, 4, 4), 2, 1, dtype=dtype, name="encoder_0b")(e, train)
             e = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="encoder_0c")(e, train)
             if cfg.pass_geo_feats:
                 pg = Block(nf, (4, 4, 4), 2, 1, dtype=dtype, name="encoder_geo")(
                     geo, train
                 )
-                e = jnp.concatenate([e, pg], axis=-1)
+                e = cat(e, pg)
             encoded_half = e
             e = Block(5 * nf, (4, 4, 4), 2, 1, dtype=dtype, name="encoder_1a")(e, train)
             e = Block(5 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="encoder_1b")(e, train)
             e = Block(5 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="encoder_1c")(e, train)
-            dec = upsample2x(e)
+            dec = up(e)
             dec = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_2a")(dec, train)
             dec = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_2b")(dec, train)
             dec = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_2c")(dec, train)
-            dec = jnp.concatenate([dec, encoded_half], axis=-1)
-            dec = upsample2x(dec)
+            dec = cat(dec, encoded_half)
+            dec = up(dec)
             dec = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3a")(dec, train)
             dec = Block(2 * nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3b")(dec, train)
             dec = Block(nf, (3, 3, 3), 1, 1, dtype=dtype, name="decoder_3c")(dec, train)
@@ -195,12 +273,12 @@ class Generator(nn.Module):
             dec = Block(nf, (3, 3, 3), 1, 1, act=False, bn=False, dtype=dtype, name="decoder_3e")(
                 dec, train
             )
-            dec = jnp.concatenate([dec, x.astype(dec.dtype)], axis=-1)
+            dec = cat(dec, tr_in(x).astype(dec.dtype))
 
             if pred_color:
                 c = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    dtype=dtype, name="color_head_bn0",
+                    dtype=dtype, name="color_head_bn0", axis=chax,
                 )(dec)
                 c = nn.leaky_relu(c, 0.2)
                 c = Block(nf, (3, 3, 3), 1, 1, dtype=dtype, name="color_head_a")(c, train)
@@ -213,7 +291,7 @@ class Generator(nn.Module):
             if pred_semantic:
                 t = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    dtype=dtype, name="semantic_head_bn0",
+                    dtype=dtype, name="semantic_head_bn0", axis=chax,
                 )(dec)
                 t = nn.leaky_relu(t, 0.2)
                 t = Block(nf, (3, 3, 3), 1, 1, dtype=dtype, name="semantic_head_a")(t, train)
@@ -222,12 +300,12 @@ class Generator(nn.Module):
                     cfg.num_classes, (3, 3, 3), 1, 1, act=False, bn=False, name="semantic_head_c"
                 )(t, train)
 
-        out_occ = out_occ.astype(jnp.float32)
-        out_sdf = out_sdf.astype(jnp.float32)
+        out_occ = tr_out(out_occ).astype(jnp.float32)
+        out_sdf = tr_out(out_sdf).astype(jnp.float32)
         if out_color is not None:
-            out_color = out_color.astype(jnp.float32)
+            out_color = tr_out(out_color).astype(jnp.float32)
         if out_semantic is not None:
-            out_semantic = out_semantic.astype(jnp.float32)
+            out_semantic = tr_out(out_semantic).astype(jnp.float32)
         return out_occ, out_sdf, out_color, out_semantic
 
 

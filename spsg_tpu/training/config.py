@@ -74,6 +74,10 @@ class TrainConfig:
     min_num_valid_2d: int = 2000  # train.py:662
     # tpu
     compute_dtype: Optional[str] = None  # 'bfloat16' to run convs on the MXU in bf16
+    # run the generator in NCDHW; parameters/checkpoints are layout-agnostic.
+    # Faster in a same-C conv micro-probe (tools/layout_probe.py), ~4% slower
+    # in the real model end-to-end -> default off (docs/DESIGN.md)
+    channels_first: bool = False
     remat: bool = False  # rematerialize generator activations (bigger batches)
     # straggler compaction for the ray march (ops/raycast.py): when the
     # still-marching ray count drops below this fraction of the pixels, the

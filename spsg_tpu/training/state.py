@@ -41,6 +41,7 @@ def make_generator(cfg: TrainConfig) -> Generator:
             truncation=cfg.truncation,
             input_mask=cfg.input_mask,
             dtype=cfg.compute_dtype,
+            channels_first=cfg.channels_first,
             remat=cfg.remat,
         )
     )

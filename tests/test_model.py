@@ -142,3 +142,52 @@ def test_remat_matches_plain():
     g = jax.grad(loss)(variables["params"])
     for leaf in jax.tree_util.tree_leaves(g):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_channels_first_matches_channels_last():
+    """channels_first=True must produce the same outputs from the same
+    parameters (it only changes the compute layout: NCDHW convs, BN axis=1,
+    transposes at entry/exit — tools/layout_probe.py for the why), in both
+    eval and train mode including the BN batch-stats updates."""
+    cfg = GeneratorConfig(nf=4)
+    gen, variables = _init(cfg)
+    gen_cf = Generator(GeneratorConfig(nf=4, channels_first=True))
+    # identical init: parameter trees must match exactly
+    vars_cf = gen_cf.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 4)),
+        jnp.zeros((1, 16, 16, 16, 1)),
+        pred_color=True, pred_sdf=True, pred_semantic=True, train=False,
+    )
+    fa = jax.tree_util.tree_flatten_with_path(variables)
+    fb = jax.tree_util.tree_flatten_with_path(vars_cf)
+    assert [p for p, _ in fa[0]] == [p for p, _ in fb[0]]
+    for (pa, la), (_, lb) in zip(fa[0], fb[0]):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb), err_msg=str(pa))
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-3, 3, (2, 16, 16, 16, 4)).astype(np.float32))
+    m = jnp.asarray((rng.random((2, 16, 16, 16, 1)) > 0.5).astype(np.float32))
+    out_a = gen.apply(variables, x, m, pred_color=True, pred_sdf=True,
+                      pred_semantic=True, train=False)
+    out_b = gen_cf.apply(variables, x, m, pred_color=True, pred_sdf=True,
+                         pred_semantic=True, train=False)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    # train mode: outputs + updated batch stats agree
+    out_a, mut_a = gen.apply(
+        variables, x, m, pred_color=True, pred_sdf=True, pred_semantic=True,
+        train=True, mutable=["batch_stats"],
+    )
+    out_b, mut_b = gen_cf.apply(
+        variables, x, m, pred_color=True, pred_sdf=True, pred_semantic=True,
+        train=True, mutable=["batch_stats"],
+    )
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    sa = jax.tree_util.tree_flatten_with_path(mut_a)
+    sb = jax.tree_util.tree_flatten_with_path(mut_b)
+    assert [p for p, _ in sa[0]] == [p for p, _ in sb[0]]
+    for (pa, la), (_, lb) in zip(sa[0], sb[0]):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-5,
+                                   err_msg=str(pa))
