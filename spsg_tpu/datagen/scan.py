@@ -1,8 +1,10 @@
 """Virtual scanning: render depth/color frames from meshes and drive the
 incomplete/complete fusion pipeline (rebuild of the reference's Win32/D3D11
 datagen app, datagen/src/Visualizer.cpp:99-219 + Scene.cpp:169-287 +
-Fuser.cpp:21-186 — redesigned as a vectorized point-splat renderer that runs
-anywhere JAX runs).
+Fuser.cpp:21-186). Frames render through a native z-buffered triangle
+rasterizer by default (datagen/raster.py — the reference's D3D11 fidelity:
+every covered pixel filled, interpolated vertex colors); a vectorized
+point-splat renderer remains as ``ScanConfig(renderer="splat")``.
 
 Pipeline (Visualizer::process): per room, take the trajectory frames viewing
 the room, randomly drop ``chance_drop_frames`` of them for the *incomplete*
@@ -36,6 +38,10 @@ class ScanConfig:
     # datagen/src/Lighting.h randomizes a light per frame); 0 disables
     lighting_strength: float = 0.0
     lighting_seed: int = 0
+    # "raster" = z-buffered triangle rasterization (reference fidelity,
+    # Scene.cpp:169-227 — every covered pixel filled exactly, no
+    # sample-density holes); "splat" = the point-splat approximation
+    renderer: str = "raster"
 
 
 def render_depth_from_points(
@@ -148,32 +154,34 @@ def virtual_scan(
     trajectory index as the frame id, plus a ``<cmp>.traj.npz`` sidecar for
     the chunker's frame association. Returns (dims_zyx, world2grid)."""
     rng = np.random.default_rng(seed)
-    # surface samples for splatting
     v0 = verts[faces[:, 0]]
     v1 = verts[faces[:, 1]]
     v2 = verts[faces[:, 2]]
     cross = np.cross(v1 - v0, v2 - v0)
-    areas = 0.5 * np.linalg.norm(cross, axis=1)
-    area = float(areas.sum())
     face_normals = cross / np.maximum(np.linalg.norm(cross, axis=1, keepdims=True), 1e-12)
-    n_samples = max(10000, int(area * scan_cfg.samples_per_area))
-    rng_s = np.random.default_rng(seed)
-    fidx = rng_s.choice(len(faces), size=n_samples, p=areas / max(area, 1e-12))
-    r1 = np.sqrt(rng_s.random(n_samples))
-    r2 = rng_s.random(n_samples)
-    a = (1.0 - r1)[:, None]
-    b = (r1 * (1.0 - r2))[:, None]
-    c = (r1 * r2)[:, None]
-    points = (a * v0[fidx] + b * v1[fidx] + c * v2[fidx]).astype(np.float32)
-    normals = face_normals[fidx].astype(np.float32)
-    colors = None
-    if vert_colors is not None:
-        # nearest-vertex colors for the samples
-        from scipy.spatial import cKDTree
+    use_raster = scan_cfg.renderer == "raster"
+    points = normals = colors = None
+    if not use_raster:
+        # surface samples for splatting
+        areas = 0.5 * np.linalg.norm(cross, axis=1)
+        area = float(areas.sum())
+        n_samples = max(10000, int(area * scan_cfg.samples_per_area))
+        rng_s = np.random.default_rng(seed)
+        fidx = rng_s.choice(len(faces), size=n_samples, p=areas / max(area, 1e-12))
+        r1 = np.sqrt(rng_s.random(n_samples))
+        r2 = rng_s.random(n_samples)
+        a = (1.0 - r1)[:, None]
+        b = (r1 * (1.0 - r2))[:, None]
+        c = (r1 * r2)[:, None]
+        points = (a * v0[fidx] + b * v1[fidx] + c * v2[fidx]).astype(np.float32)
+        normals = face_normals[fidx].astype(np.float32)
+        if vert_colors is not None:
+            # nearest-vertex colors for the samples
+            from scipy.spatial import cKDTree
 
-        tree = cKDTree(verts)
-        _, idx = tree.query(points, k=1)
-        colors = vert_colors[idx]
+            tree = cKDTree(verts)
+            _, idx = tree.query(points, k=1)
+            colors = vert_colors[idx]
 
     dims_zyx, world2grid = fusion.grid_from_bounds(
         verts.min(0), verts.max(0), fusion_cfg
@@ -192,9 +200,37 @@ def virtual_scan(
 
     def frame_iter(cams):
         for fi, cam in cams:
-            depth, color = render_depth_from_points(
-                points, colors, cam, scan_cfg, normals=normals, frame_id=fi
-            )
+            if use_raster:
+                from . import raster
+
+                face_shade = None
+                if scan_cfg.lighting_strength > 0:
+                    # per-frame randomized Lambertian directional light with
+                    # flat (per-face) shading, same formula as the splat path
+                    # (reference datagen/src/Lighting.h)
+                    lrng = np.random.default_rng(
+                        scan_cfg.lighting_seed * 100003 + fi
+                    )
+                    light = lrng.standard_normal(3)
+                    light[2] = -abs(light[2])
+                    light /= np.linalg.norm(light)
+                    lambert = np.abs(face_normals @ light)
+                    face_shade = (
+                        (1.0 - scan_cfg.lighting_strength)
+                        + scan_cfg.lighting_strength * lambert
+                    ).astype(np.float32)
+                depth, color = raster.rasterize_depth(
+                    verts, faces, vert_colors, cam,
+                    scan_cfg.fx, scan_cfg.fy,
+                    scan_cfg.width / 2, scan_cfg.height / 2,
+                    scan_cfg.width, scan_cfg.height,
+                    scan_cfg.depth_min, scan_cfg.depth_max,
+                    face_shade=face_shade,
+                )
+            else:
+                depth, color = render_depth_from_points(
+                    points, colors, cam, scan_cfg, normals=normals, frame_id=fi
+                )
             if frame_export_dir is not None:
                 export_frame(frame_export_dir, fi, depth, color, cam, intr)
             yield depth, color.astype(np.float32) if color is not None else None, intr, cam
