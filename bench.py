@@ -181,7 +181,11 @@ def bench_scene(args):
     from spsg_tpu.training import TrainConfig
     from spsg_tpu.training.state import init_states, make_generator
 
-    cfg = TrainConfig(weight_disc_loss=0.0)
+    bf16 = args.bf16 and not args.f32
+    cfg = TrainConfig(
+        weight_disc_loss=0.0,
+        compute_dtype="bfloat16" if bf16 else None,
+    )
     gen = make_generator(cfg)
     gs, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
     variables = {"params": gs.params, "batch_stats": gs.batch_stats}
@@ -192,7 +196,8 @@ def bench_scene(args):
     )
     _phase("scene inference warmup")
     kwargs = dict(
-        truncation=3.0, chunk_dims=(128, 64, 64), stride=32, window_batch=8,
+        truncation=3.0, chunk_dims=(128, 64, 64), stride=32,
+        window_batch=args.window_batch,
         pred_color=True, pred_semantic=True,
     )
     chunked.run_chunked_inference(
@@ -211,7 +216,8 @@ def bench_scene(args):
         "value": round(n_vox / dt, 1),
         "unit": "voxels/s (2cm chunked whole-scene completion, stride 32)",
         "vs_baseline": None,
-        "extra": {"scene_dims": list(out.sdf.shape), "seconds": round(dt, 3)},
+        "extra": {"scene_dims": list(out.sdf.shape), "seconds": round(dt, 3),
+                  "window_batch": args.window_batch, "bf16": bf16},
     }
     global _RESULT_PRINTED
     _RESULT_PRINTED = True
@@ -242,6 +248,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         max_depth_fill_iters=0,  # synthetic frames are hole-free
         compute_dtype="bfloat16" if bf16 else None,
         channels_first=getattr(args, "channels_first", False),
+        compact_resid=getattr(args, "compact_resid", False),
         remat=remat,
         **({"fuse_raycast": False} if getattr(args, "unfuse", False)
            else {"fuse_raycast": True} if getattr(args, "fuse", False) else {}),
@@ -329,6 +336,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
             "remat": bool(remat),
             "fused_raycast": cfg.fuse_raycast,
             "channels_first": cfg.channels_first,
+            "compact_resid": cfg.compact_resid,
             "cached_renders": precomp is not None,
             "straggler_frac": cfg.straggler_frac,
             "mode": args.mode,
@@ -437,10 +445,16 @@ def main():
                    help="NCDHW generator convs (1.5x faster in a same-C conv "
                    "micro-probe but ~4% SLOWER in the real model end-to-end "
                    "— docs/DESIGN.md layout experiments)")
+    p.add_argument("--compact_resid", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="compact lane-aligned generator residuals (~4x lower "
+                   "step HBM, enables B>=4)")
     p.add_argument("--precomp", action=argparse.BooleanOptionalAction, default=True,
                    help="cache the parameter-independent input/target renders "
                    "outside the step (bit-identical; models the training "
                    "loop's per-chunk render cache)")
+    p.add_argument("--window_batch", type=int, default=8,
+                   help="windows per device batch in --mode scene")
     p.add_argument("--profile_dir", default="",
                    help="write a jax.profiler trace of the timed steps here "
                    "(summarize with tools/trace_summary.py)")

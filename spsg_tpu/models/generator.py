@@ -38,6 +38,36 @@ def torch_kernel_init():
     return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
+COMPACT_RESID_NAME = "spsg_conv_compact"
+
+
+def _compact_tag(x):
+    """Tag a conv output for compact-residual checkpointing.
+
+    On TPU, XLA stores every conv activation with the channel dim padded to
+    the full 128-lane tile — a ~6.4x memory blowup at nf=20 that makes the
+    full train step peak at 11.8 GB for batch 2 (tools/memcheck.py,
+    docs/DESIGN.md round-3 findings). Collapsing the last two dims makes the
+    minor dim a large multiple (X*C or Y*X) that tiles without padding, so a
+    residual saved in this shape is stored compact.
+
+    This is a pure tag: a reshape pair XLA folds away, plus a
+    jax.ad_checkpoint.checkpoint_name that has NO effect unless the caller
+    wraps the model apply in jax.checkpoint(policy=
+    save_only_these_names(COMPACT_RESID_NAME)) (training/step.py,
+    TrainConfig.compact_resid). Under that policy the tagged (compact) conv
+    outputs are the ONLY saved residuals: convs are never recomputed in the
+    backward (their outputs are saved), while the cheap elementwise
+    act/BN/upsample chain replays from them."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    s = x.shape
+    c = checkpoint_name(
+        x.reshape(s[:-2] + (s[-2] * s[-1],)), COMPACT_RESID_NAME
+    )
+    return c.reshape(s)
+
+
 class _ConvChannelsFirst(nn.Module):
     """NCDHW conv with nn.Conv-identical parameters (kernel (kz,ky,kx,I,O),
     bias (O,), same init) so checkpoints are layout-agnostic. Channel-first
@@ -115,6 +145,7 @@ class ConvBlock(nn.Module):
                 kernel_init=torch_kernel_init(),
                 dtype=self.dtype,
             )(x)
+        x = _compact_tag(x)
         if self.act:
             x = nn.leaky_relu(x, negative_slope=0.2)
         if self.bn:

@@ -78,6 +78,13 @@ class TrainConfig:
     # Faster in a same-C conv micro-probe (tools/layout_probe.py), ~4% slower
     # in the real model end-to-end -> default off (docs/DESIGN.md)
     channels_first: bool = False
+    # save only lane-aligned COMPACT conv outputs as generator backward
+    # residuals (jax.checkpoint policy over the tags in models/generator.py):
+    # on TPU every conv activation is otherwise stored padded to the 128-lane
+    # tile (~6.4x at nf=20; the B=2 full step peaks at 11.8 GB of 16 GB —
+    # tools/memcheck.py). Convs are NOT recomputed (their outputs are the
+    # saved residuals); only the cheap elementwise act/BN chain replays.
+    compact_resid: bool = False
     remat: bool = False  # rematerialize generator activations (bigger batches)
     # straggler compaction for the ray march (ops/raycast.py): when the
     # still-marching ray count drops below this fraction of the pixels, the

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import optax
 
 from ..data import category
+from ..models import generator as gen_models
 from ..losses import gan as gan_losses
 from ..losses import geo as geo_losses
 from ..losses import semantic as sem_losses
@@ -188,17 +189,38 @@ class Trainer:
     def _gen_apply(self, params, batch_stats, batch, flags: StepFlags):
         variables = {"params": params, "batch_stats": batch_stats}
         if flags.train:
-            (outs, mutated) = self.generator.apply(
-                variables,
-                batch["input"],
-                batch["mask"],
-                pred_color=flags.pred_color,
-                pred_sdf=True,
-                pred_semantic=flags.pred_semantic,
-                train=True,
-                mutable=["batch_stats"],
+            def apply_train(p, bs, x, m):
+                (outs, mutated) = self.generator.apply(
+                    {"params": p, "batch_stats": bs},
+                    x,
+                    m,
+                    pred_color=flags.pred_color,
+                    pred_sdf=True,
+                    pred_semantic=flags.pred_semantic,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                return outs, mutated["batch_stats"]
+
+            if self.cfg.compact_resid:
+                # save ONLY the lane-aligned compact conv outputs tagged in
+                # models/generator.py (_compact_tag): convs are never
+                # recomputed (their outputs are the saved residuals) and no
+                # padded (B,Z,Y,X,C->128-lane) activation survives to the
+                # backward — cuts the step's peak HBM ~4x so larger batches
+                # fit (tools/memcheck.py, docs/DESIGN.md round-3 findings)
+                from jax.ad_checkpoint import checkpoint_policies
+
+                apply_train = jax.checkpoint(
+                    apply_train,
+                    policy=checkpoint_policies.save_only_these_names(
+                        gen_models.COMPACT_RESID_NAME
+                    ),
+                )
+            outs, new_bstats = apply_train(
+                params, batch_stats, batch["input"], batch["mask"]
             )
-            return outs, mutated["batch_stats"]
+            return outs, new_bstats
         outs = self.generator.apply(
             variables,
             batch["input"],

@@ -371,3 +371,42 @@ def test_skip_batch_on_bad_depth_exact_parity():
         not np.array_equal(a, np.asarray(b))
         for a, b in zip(jax.tree_util.tree_leaves(gp0), leaves2)
     )
+
+
+def test_compact_resid_step_equivalent():
+    """cfg.compact_resid only changes WHERE backward residuals are stored
+    (compact lane-aligned conv outputs instead of padded activations) and
+    what gets recomputed — the training math must be unchanged: same loss
+    metrics and parameter updates as the default step to float tolerance."""
+    batch = _batch(_tiny_cfg(), with_frames=True)
+    flags = StepFlags(
+        pred_sdf=True, pred_color=True, pred_semantic=True, use_2d=True, use_disc=True
+    )
+
+    outs = []
+    for compact in (False, True):
+        cfg = _tiny_cfg(compact_resid=compact)
+        trainer = Trainer(cfg)
+        gen0, disc0 = init_states(cfg, jax.random.PRNGKey(0))
+        g, d, m = trainer.step(gen0, disc0, batch, jax.random.PRNGKey(1), flags)
+        outs.append((g, d, m))
+    (g_a, d_a, m_a), (g_b, d_b, m_b) = outs
+    for k in m_a:
+        np.testing.assert_allclose(
+            np.asarray(m_a[k]), np.asarray(m_b[k]), rtol=2e-5, atol=2e-6,
+            err_msg=k,
+        )
+    for (pa, la), (_, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(g_a.params)[0],
+        jax.tree_util.tree_flatten_with_path(g_b.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-6, err_msg=str(pa)
+        )
+    for (pa, la), (_, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(g_a.batch_stats)[0],
+        jax.tree_util.tree_flatten_with_path(g_b.batch_stats)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-7, err_msg=str(pa)
+        )

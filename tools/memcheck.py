@@ -29,6 +29,8 @@ def main():
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--compact_resid", action=argparse.BooleanOptionalAction,
+                   default=False)
     p.add_argument("--precomp", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--mode", choices=["full", "geo"], default="full")
     p.add_argument("--dump", default="", help="xla_dump_to directory for HLO")
@@ -56,6 +58,7 @@ def main():
         batch_size=args.batch_size,
         compute_dtype="bfloat16" if args.bf16 else None,
         remat=args.remat,
+        compact_resid=args.compact_resid,
         weight_depth_loss=1.0 if full else 0.0,
         weight_disc_loss=0.5 if full else 0.0,
     )
@@ -114,7 +117,7 @@ def main():
         return round(x / 2**30, 3)
 
     out = {"batch_size": args.batch_size, "bf16": args.bf16, "remat": args.remat,
-           "precomp": precomp is not None}
+           "compact_resid": args.compact_resid, "precomp": precomp is not None}
     for attr in ("temp_size_in_bytes", "argument_size_in_bytes",
                  "output_size_in_bytes", "alias_size_in_bytes",
                  "generated_code_size_in_bytes", "peak_memory_in_bytes"):
