@@ -1,0 +1,149 @@
+"""Pallas TPU kernel for the generator's 3x3x3 stride-1 convolutions.
+
+Why: XLA's rank-5 conv lowering runs the nf=20 generator stack at ~1.9
+effective TFLOP/s on v5e — ~30x below even the 20/128-lane-limited MXU
+ceiling (docs/DESIGN.md round-3 findings; tools/conv_probe.py). A 3x3x3
+conv is exactly an im2col matmul with K = 27*C_in (540 at nf=20), which the
+MXU executes well: this kernel builds the patch matrix for one (batch, z)
+slab in VMEM and issues a single (Y*X, 27C) @ (27C, C_out) dot per program.
+
+Forward and both backward passes ride the same building blocks:
+  dx = conv(dy, flip(W) with in/out swapped)   -> the forward kernel again
+  dW = sum_slabs patches^T @ dy                -> grid-accumulated kernel
+wrapped in a custom_vjp (`conv3x3`). Only kernel_size (3,3,3), stride 1,
+dilation 1, NDHWC is supported — the generator's dominant conv shape
+(models/generator.py); other shapes stay on lax.conv_general_dilated.
+
+Reference parity: this replaces torch Conv3d(k=3, s=1, p=1)
+(/root/reference/torch/model.py:183-191) bit-for-math (f32 accumulation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TAPS = [(dz, dy, dx) for dz in range(3) for dy in range(3) for dx in range(3)]
+
+
+def _patches_from_slab(slab, Y, X, C):
+    """(3, Y+2, X+2, C) slab -> (Y*X, 27*C) patch matrix (tap-major)."""
+    cols = [
+        slab[dz, dy:dy + Y, dx:dx + X, :].reshape(Y * X, C)
+        for dz, dy, dx in _TAPS
+    ]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _fwd_kernel(x_hbm, w_ref, o_ref, slab, sem, *, Y, X, C, out_dtype):
+    b = pl.program_id(0)
+    z = pl.program_id(1)
+    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z, 3)], slab, sem)
+    cp.start()
+    cp.wait()
+    patches = _patches_from_slab(slab[:], Y, X, C)
+    out = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.reshape(Y, X, -1).astype(out_dtype)
+
+
+def _dw_kernel(x_hbm, dy_ref, ow_ref, slab, sem, *, Y, X, C):
+    b = pl.program_id(0)
+    z = pl.program_id(1)
+    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z, 3)], slab, sem)
+    cp.start()
+    cp.wait()
+
+    @pl.when((b == 0) & (z == 0))
+    def _():
+        ow_ref[:] = jnp.zeros_like(ow_ref)
+
+    patches = _patches_from_slab(slab[:], Y, X, C)
+    dy = dy_ref[0, 0].reshape(Y * X, -1)
+    ow_ref[:] += jax.lax.dot_general(
+        patches, dy,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _conv3x3_fwd_impl(x, w, interpret=False):
+    """x (B,Z,Y,X,Cin), w (3,3,3,Cin,Cout) -> (B,Z,Y,X,Cout), pad 1."""
+    B, Z, Y, X, C = x.shape
+    Cout = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    # weights as the (27*Cin, Cout) patch-matmul matrix (tap-major like
+    # _patches_from_slab)
+    wm = w.reshape(27 * C, Cout).astype(x.dtype)
+    kern = functools.partial(_fwd_kernel, Y=Y, X=X, C=C, out_dtype=x.dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(B, Z),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((27 * C, Cout), lambda b, z: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Y, X, Cout), lambda b, z: (b, z, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Z, Y, X, Cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, Y + 2, X + 2, C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, wm)
+
+
+def _conv3x3_dw_impl(x, dy, interpret=False):
+    """dW (3,3,3,Cin,Cout) = correlation of x with dy (both NDHWC)."""
+    B, Z, Y, X, C = x.shape
+    Cout = dy.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    kern = functools.partial(_dw_kernel, Y=Y, X=X, C=C)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, Z),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, Y, X, Cout), lambda b, z: (b, z, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((27 * C, Cout), lambda b, z: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((27 * C, Cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, Y + 2, X + 2, C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, dy)
+    return out.reshape(3, 3, 3, C, Cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3(x, w, interpret=False):
+    """3x3x3 stride-1 pad-1 NDHWC convolution as a Pallas im2col matmul."""
+    return _conv3x3_fwd_impl(x, w, interpret)
+
+
+def _conv3x3_vjp_fwd(x, w, interpret):
+    return _conv3x3_fwd_impl(x, w, interpret), (x, w)
+
+
+def _conv3x3_vjp_bwd(interpret, res, dy):
+    x, w = res
+    # dx = conv(dy, spatially-flipped W with Cin/Cout swapped)
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    dx = _conv3x3_fwd_impl(dy, w_flip.astype(dy.dtype), interpret).astype(x.dtype)
+    dw = _conv3x3_dw_impl(x, dy, interpret).astype(w.dtype)
+    return dx, dw
+
+
+conv3x3.defvjp(_conv3x3_vjp_fwd, _conv3x3_vjp_bwd)

@@ -116,11 +116,19 @@ def main():
             x = act(acc)
         return jnp.sum(x.astype(jnp.float32))
 
+    def stack_pallas(x, kernels):
+        from spsg_tpu.ops.pallas_conv import conv3x3
+
+        for k in kernels:
+            x = act(conv3x3(x, k, args.cpu))  # interpret on CPU
+        return jnp.sum(x.astype(jnp.float32))
+
     strategies = {
         "conv": stack_conv,
         "patches": stack_patches,
         "zslab": stack_zslab,
         "taps": stack_taps,
+        "pallas": stack_pallas,
     }
     if args.only:
         keep = set(args.only.split(","))
