@@ -248,6 +248,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         max_depth_fill_iters=0,  # synthetic frames are hole-free
         compute_dtype="bfloat16" if bf16 else None,
         channels_first=getattr(args, "channels_first", False),
+        pallas_conv=getattr(args, "pallas_conv", False),
         compact_resid=getattr(args, "compact_resid", False),
         remat=remat,
         **({"fuse_raycast": False} if getattr(args, "unfuse", False)
@@ -336,6 +337,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
             "remat": bool(remat),
             "fused_raycast": cfg.fuse_raycast,
             "channels_first": cfg.channels_first,
+            "pallas_conv": cfg.pallas_conv,
             "compact_resid": cfg.compact_resid,
             "cached_renders": precomp is not None,
             "straggler_frac": cfg.straggler_frac,
@@ -445,6 +447,10 @@ def main():
                    help="NCDHW generator convs (1.5x faster in a same-C conv "
                    "micro-probe but ~4% SLOWER in the real model end-to-end "
                    "— docs/DESIGN.md layout experiments)")
+    p.add_argument("--pallas_conv", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="route 3x3x3 stride-1 generator convs through the "
+                   "Pallas im2col kernel")
     p.add_argument("--compact_resid", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="compact lane-aligned generator residuals (~4x lower "

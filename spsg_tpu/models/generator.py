@@ -107,10 +107,34 @@ class _ConvChannelsFirst(nn.Module):
         return y + bias.astype(y.dtype)[None, :, None, None, None]
 
 
+class _ConvPallas(nn.Module):
+    """3x3x3 stride-1 conv via the Pallas im2col kernel (ops/pallas_conv.py)
+    with nn.Conv-identical parameters; falls into interpreter mode off-TPU."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas_conv import conv3x3
+
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kernel_init(), (3, 3, 3, in_ch, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        cdt = self.dtype or x.dtype
+        y = conv3x3(x.astype(cdt), kernel.astype(cdt))
+        return y + bias.astype(y.dtype)
+
+
 class ConvBlock(nn.Module):
     """Conv3d -> optional LeakyReLU(0.2) -> optional BatchNorm (reference
     ordering inside every nn.Sequential of model.py). With
-    ``channels_first`` the block computes in NCDHW (same parameters)."""
+    ``channels_first`` the block computes in NCDHW (same parameters); with
+    ``pallas_conv`` eligible convs (3x3x3, stride 1, dilation 1, NDHWC) use
+    the Pallas im2col kernel."""
 
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
@@ -121,11 +145,22 @@ class ConvBlock(nn.Module):
     bn: bool = True
     dtype: Optional[jnp.dtype] = None
     channels_first: bool = False
+    pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         pad = [(self.padding, self.padding)] * 3
-        if self.channels_first:
+        use_pallas = (
+            self.pallas_conv
+            and not self.channels_first
+            and self.kernel == (3, 3, 3)
+            and self.stride == 1
+            and self.padding == 1
+            and self.dilation == 1
+        )
+        if use_pallas:
+            x = _ConvPallas(self.features, dtype=self.dtype, name="Conv_0")(x)
+        elif self.channels_first:
             x = _ConvChannelsFirst(
                 self.features,
                 kernel_size=self.kernel,
@@ -189,6 +224,9 @@ class GeneratorConfig:
     # layout-agnostic. Faster in a conv micro-probe, ~4% slower in the real
     # model (docs/DESIGN.md layout experiments) -> default off
     channels_first: bool = False
+    # route eligible 3x3x3 stride-1 convs through the Pallas im2col kernel
+    # (ops/pallas_conv.py); parameters are identical to the nn.Conv path
+    pallas_conv: bool = False
     # rematerialize activations in the backward pass (jax.checkpoint per
     # conv block): trades ~30% more FLOPs for large activation-memory savings
     # — enables bigger batches on one chip
@@ -223,6 +261,8 @@ class Generator(nn.Module):
         )
         if cf:
             Block = functools.partial(Block, channels_first=True)
+        if cfg.pallas_conv:
+            Block = functools.partial(Block, pallas_conv=True)
         # layout helpers: preprocessing stays channel-last (cheap elementwise);
         # branches run in the configured layout; outputs return channel-last
         chax = 1 if cf else -1

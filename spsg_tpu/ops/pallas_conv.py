@@ -127,17 +127,31 @@ def _conv3x3_dw_impl(x, dy, interpret=False):
     return out.reshape(3, 3, 3, C, Cout)
 
 
+def _auto_interpret() -> bool:
+    # Pallas TPU kernels only compile for real TPUs; interpret everywhere
+    # else (CPU tests / virtual-device meshes). Decided at trace time.
+    return jax.devices()[0].platform != "tpu"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def conv3x3(x, w, interpret=False):
-    """3x3x3 stride-1 pad-1 NDHWC convolution as a Pallas im2col matmul."""
+def conv3x3(x, w, interpret=None):
+    """3x3x3 stride-1 pad-1 NDHWC convolution as a Pallas im2col matmul.
+
+    ``interpret=None`` auto-selects interpreter mode off-TPU."""
+    if interpret is None:
+        interpret = _auto_interpret()
     return _conv3x3_fwd_impl(x, w, interpret)
 
 
 def _conv3x3_vjp_fwd(x, w, interpret):
+    if interpret is None:
+        interpret = _auto_interpret()
     return _conv3x3_fwd_impl(x, w, interpret), (x, w)
 
 
 def _conv3x3_vjp_bwd(interpret, res, dy):
+    if interpret is None:
+        interpret = _auto_interpret()
     x, w = res
     # dx = conv(dy, spatially-flipped W with Cin/Cout swapped)
     w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)

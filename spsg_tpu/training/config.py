@@ -78,6 +78,9 @@ class TrainConfig:
     # Faster in a same-C conv micro-probe (tools/layout_probe.py), ~4% slower
     # in the real model end-to-end -> default off (docs/DESIGN.md)
     channels_first: bool = False
+    # route eligible 3x3x3 stride-1 generator convs through the Pallas
+    # im2col kernel (ops/pallas_conv.py)
+    pallas_conv: bool = False
     # save only lane-aligned COMPACT conv outputs as generator backward
     # residuals (jax.checkpoint policy over the tags in models/generator.py):
     # on TPU every conv activation is otherwise stored padded to the 128-lane

@@ -42,6 +42,7 @@ def make_generator(cfg: TrainConfig) -> Generator:
             input_mask=cfg.input_mask,
             dtype=cfg.compute_dtype,
             channels_first=cfg.channels_first,
+            pallas_conv=cfg.pallas_conv,
             remat=cfg.remat,
         )
     )

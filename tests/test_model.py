@@ -191,3 +191,43 @@ def test_channels_first_matches_channels_last():
     for (pa, la), (_, lb) in zip(sa[0], sb[0]):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-5,
                                    err_msg=str(pa))
+
+
+def test_pallas_conv_generator_matches_default():
+    """pallas_conv=True routes eligible 3x3x3 convs through the Pallas
+    im2col kernel (interpreter mode on CPU) with identical parameters; the
+    outputs must match the lax-conv path, and gradients must stay finite."""
+    cfg = GeneratorConfig(nf=4)
+    gen, variables = _init(cfg)
+    gen_p = Generator(GeneratorConfig(nf=4, pallas_conv=True))
+    vars_p = gen_p.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 4)),
+        jnp.zeros((1, 16, 16, 16, 1)),
+        pred_color=True, pred_sdf=True, pred_semantic=True, train=False,
+    )
+    fa = jax.tree_util.tree_flatten_with_path(variables)
+    fb = jax.tree_util.tree_flatten_with_path(vars_p)
+    assert [p for p, _ in fa[0]] == [p for p, _ in fb[0]]
+    for (pa, la), (_, lb) in zip(fa[0], fb[0]):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb), err_msg=str(pa))
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-3, 3, (1, 16, 16, 16, 4)).astype(np.float32))
+    m = jnp.asarray((rng.random((1, 16, 16, 16, 1)) > 0.5).astype(np.float32))
+    out_a = gen.apply(variables, x, m, pred_color=True, pred_sdf=True,
+                      pred_semantic=True, train=False)
+    out_b = gen_p.apply(variables, x, m, pred_color=True, pred_sdf=True,
+                        pred_semantic=True, train=False)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+    def loss(p):
+        occ, sdf, col, sem = gen_p.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, x, m,
+            pred_color=True, pred_sdf=True, pred_semantic=True, train=False,
+        )
+        return jnp.mean(occ**2) + jnp.mean(sdf**2) + jnp.mean(col**2)
+
+    g = jax.grad(loss)(variables["params"])
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
