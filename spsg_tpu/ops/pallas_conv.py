@@ -86,7 +86,7 @@ def _conv3x3_fwd_impl(x, w, interpret=False):
         kern,
         grid=(B, Z),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((27 * C, Cout), lambda b, z: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -111,7 +111,7 @@ def _conv3x3_dw_impl(x, dy, interpret=False):
         kern,
         grid=(B, Z),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, Y, X, Cout), lambda b, z: (b, z, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],

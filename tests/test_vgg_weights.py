@@ -53,7 +53,7 @@ def test_convert_vgg19_roundtrip_and_env_loading(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "convert_vgg19.py"),
          "--src", pth, "--out", npz],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=900,  # 1-core box: cold torch+jax imports alone can take minutes under contention
     )
     assert r.returncode == 0, r.stderr
     assert os.path.isfile(npz)
@@ -110,7 +110,7 @@ def test_vgg_style_loss_uses_loaded_weights(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "convert_vgg19.py"),
          "--src", pth, "--out", npz],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=900,  # 1-core box: cold torch+jax imports alone can take minutes under contention
     )
     assert r.returncode == 0, r.stderr
 
