@@ -50,6 +50,13 @@ def main():
         sd = vgg19(weights=VGG19_Weights.IMAGENET1K_V1).state_dict()
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+    # weight conversion is pure host work — never touch an accelerator
+    # backend (a wedged TPU relay must not be able to hang this tool; the
+    # post-import config update is the only reliable way to force CPU here,
+    # see CLAUDE.md)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     from spsg_tpu.models.vgg import convert_torchvision_weights
 
     params = convert_torchvision_weights(sd)
