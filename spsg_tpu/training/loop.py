@@ -58,8 +58,15 @@ class RenderCache:
         self._d: "OrderedDict" = OrderedDict()
 
     def lookup(self, batch, names, frame_ids):
-        """Per-sample precomp entries for this batch (tuple, len B), running
-        the batched precompute only when some sample is missing."""
+        """Per-sample precomp entries for this batch (tuple, len B).
+
+        Hits and misses are PER SAMPLE: only the missing samples are
+        recomputed, batched into one gathered sub-batch (epoch reshuffling
+        re-pairs chunks every epoch, so an all-or-nothing batch cache would
+        almost never hit in real training). precompute_views has no
+        cross-sample reductions, so sub-batch composition cannot change the
+        per-sample results — bit-identity holds
+        (tests/test_train_step.py::test_render_cache_training_bit_identical)."""
         B = len(names)
         if frame_ids is None:
             frame_ids = [()] * B
@@ -67,25 +74,28 @@ class RenderCache:
             (n, tuple(np.asarray(f).ravel().tolist()))
             for n, f in zip(names, frame_ids)
         ]
-        if all(k in self._d for k in keys):
-            self.hits += B
-            for k in keys:
-                self._d.move_to_end(k)
-            return tuple(self._d[k] for k in keys)
-        self.misses += B
-        pre = self.trainer.precompute_views(batch)
-        rows = next(iter(pre.values())).shape[0]  # B * n_frames
-        F = rows // B
-        parts = tuple(
-            jax.tree_util.tree_map(lambda a, i=i: a[i * F : (i + 1) * F], pre)
-            for i in range(B)
-        )
-        for k, p in zip(keys, parts):
-            self._d[k] = p
+        missing = [i for i, k in enumerate(keys) if k not in self._d]
+        self.hits += B - len(missing)
+        self.misses += len(missing)
+        if missing:
+            idx = jnp.asarray(missing)
+            sub = {
+                k: (v[idx] if hasattr(v, "ndim") and v.ndim > 0 else v)
+                for k, v in batch.items()
+            }
+            pre = self.trainer.precompute_views(sub)
+            rows = next(iter(pre.values())).shape[0]  # len(missing) * n_frames
+            F = rows // len(missing)
+            for j, i in enumerate(missing):
+                self._d[keys[i]] = jax.tree_util.tree_map(
+                    lambda a, j=j: a[j * F : (j + 1) * F], pre
+                )
+        for k in keys:
             self._d.move_to_end(k)
+        out = tuple(self._d[k] for k in keys)  # before eviction: capacity < B
         while len(self._d) > self.capacity:
             self._d.popitem(last=False)
-        return parts
+        return out
 
 
 def _dump_visuals(trainer, cfg, gen_state, batch, it, epoch, save_dir, flags):
