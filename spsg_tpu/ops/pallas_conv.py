@@ -21,12 +21,9 @@ Reference parity: this replaces torch Conv3d(k=3, s=1, p=1)
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
