@@ -107,6 +107,7 @@ def _supervise() -> "int":
     env = dict(os.environ, SPSG_BENCH_CHILD="1",
                BENCH_WATCHDOG_S=str(max(60, deadline - 30)))
     rc = 1
+    last: list = []
     for attempt in range(attempts):
         state["buf"] = []
         print(f"[bench supervisor] attempt {attempt + 1}/{attempts} "
@@ -127,6 +128,12 @@ def _supervise() -> "int":
         try:
             rc = p.wait(timeout=deadline)
         except subprocess.TimeoutExpired:
+            # Killing a TPU process mid-call is exactly the relay-wedging
+            # pattern CLAUDE.md warns about — but a child hung this long is
+            # already stuck in a wedged grant, and empirically (this round)
+            # the NEXT process often succeeds where the hung one never will.
+            # The retry is a calculated trade: worst case the relay stays
+            # wedged (it already was), best case the bench lands a number.
             print(f"[bench supervisor] attempt {attempt + 1} hung past "
                   f"{deadline}s — killing child", file=sys.stderr, flush=True)
             p.kill()

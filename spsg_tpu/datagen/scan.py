@@ -44,6 +44,23 @@ class ScanConfig:
     renderer: str = "raster"
 
 
+def frame_light(cfg: ScanConfig, frame_id: int) -> np.ndarray:
+    """Per-frame randomized directional light, unit-norm, from above
+    (reference datagen/src/Lighting.h). Shared by the raster and splat paths
+    so their shading stays numerically identical."""
+    rng = np.random.default_rng(cfg.lighting_seed * 100003 + frame_id)
+    light = rng.standard_normal(3)
+    light[2] = -abs(light[2])
+    light /= np.linalg.norm(light)
+    return light
+
+
+def lambert_shade(cfg: ScanConfig, normals: np.ndarray, light: np.ndarray) -> np.ndarray:
+    """Lambertian blend factor per normal: (1-s) + s*|n.l|."""
+    lambert = np.abs(normals @ light)
+    return (1.0 - cfg.lighting_strength) + cfg.lighting_strength * lambert
+
+
 def render_depth_from_points(
     points: np.ndarray,  # (N, 3) world
     colors: Optional[np.ndarray],  # (N, 3) uint8
@@ -73,12 +90,7 @@ def render_depth_from_points(
     if colors is not None:
         csel = colors[ok].astype(np.float32)
         if cfg.lighting_strength > 0 and normals is not None:
-            rng = np.random.default_rng(cfg.lighting_seed * 100003 + frame_id)
-            light = rng.standard_normal(3)
-            light[2] = -abs(light[2])  # from above
-            light /= np.linalg.norm(light)
-            lambert = np.abs(normals[ok] @ light)
-            shade = (1.0 - cfg.lighting_strength) + cfg.lighting_strength * lambert
+            shade = lambert_shade(cfg, normals[ok], frame_light(cfg, frame_id))
             csel = csel * shade[:, None]
         # winner-take-all by re-checking the z-buffer
         win = z <= depth[flat] + 1e-6
@@ -205,19 +217,11 @@ def virtual_scan(
 
                 face_shade = None
                 if scan_cfg.lighting_strength > 0:
-                    # per-frame randomized Lambertian directional light with
-                    # flat (per-face) shading, same formula as the splat path
-                    # (reference datagen/src/Lighting.h)
-                    lrng = np.random.default_rng(
-                        scan_cfg.lighting_seed * 100003 + fi
-                    )
-                    light = lrng.standard_normal(3)
-                    light[2] = -abs(light[2])
-                    light /= np.linalg.norm(light)
-                    lambert = np.abs(face_normals @ light)
-                    face_shade = (
-                        (1.0 - scan_cfg.lighting_strength)
-                        + scan_cfg.lighting_strength * lambert
+                    # flat (per-face) shading with the shared per-frame light
+                    # (frame_light/lambert_shade keep raster and splat paths
+                    # numerically identical)
+                    face_shade = lambert_shade(
+                        scan_cfg, face_normals, frame_light(scan_cfg, fi)
                     ).astype(np.float32)
                 depth, color = raster.rasterize_depth(
                     verts, faces, vert_colors, cam,

@@ -95,7 +95,10 @@ class _ConvChannelsFirst(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
-        cdt = self.dtype or x.dtype
+        # dtype=None must match nn.Conv's promotion (input+f32 kernel -> f32):
+        # the output heads deliberately pass no dtype so they compute in f32
+        # even in bf16 runs
+        cdt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(cdt),
             jnp.transpose(kernel.astype(cdt), (4, 3, 0, 1, 2)),
@@ -124,7 +127,8 @@ class _ConvPallas(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
-        cdt = self.dtype or x.dtype
+        # match nn.Conv's dtype=None promotion (see _ConvChannelsFirst)
+        cdt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
         y = conv3x3(x.astype(cdt), kernel.astype(cdt))
         return y + bias.astype(y.dtype)
 

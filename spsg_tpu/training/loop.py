@@ -79,10 +79,12 @@ class RenderCache:
         self.misses += len(missing)
         if missing:
             idx = jnp.asarray(missing)
-            sub = {
-                k: (v[idx] if hasattr(v, "ndim") and v.ndim > 0 else v)
-                for k, v in batch.items()
-            }
+            # gather ONLY the tensors precompute_views reads — each eager
+            # device gather pays the relay's fixed dispatch cost, and the
+            # jitted precompute would DCE unused args anyway
+            needed = ("input", "target_sdf", "images_depth", "images_view",
+                      "images_intrinsic")
+            sub = {k: batch[k][idx] for k in needed if k in batch}
             pre = self.trainer.precompute_views(sub)
             rows = next(iter(pre.values())).shape[0]  # len(missing) * n_frames
             F = rows // len(missing)

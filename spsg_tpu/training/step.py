@@ -296,13 +296,13 @@ class Trainer:
         synth = None
         target_img = None
         valid_patches = None
-        gate2d = jnp.zeros(())
+        gates = (jnp.zeros(()), jnp.zeros(()))  # (combined, depth-fill only)
         sw_real = None
         sw_fake = None
         wcd = None
         if flags.use_2d:
             (
-                loss2d, synth, target_img, valid_patches, gate2d, metrics2d,
+                loss2d, synth, target_img, valid_patches, gates, metrics2d,
                 sw_real, sw_fake, wcd,
             ) = self._2d_losses(
                 batch, flags, target_sdf, input_occ, pred_sdf_g, pred_color, pred_sem,
@@ -316,7 +316,8 @@ class Trainer:
             metrics=metrics,
             target_img=target_img,
             valid_patches=valid_patches,
-            gate2d=gate2d,
+            gate2d=gates[0],  # combined (depth-fill AND enough valid pixels)
+            gate_depth=gates[1],  # depth-fill only (reference whole-batch skip)
             sample_weight_real=sw_real,
             sample_weight_fake=sw_fake,
             weight_color_disc=wcd,
@@ -693,9 +694,13 @@ class Trainer:
             )
             sample_weight_fake = jnp.clip(w, 0.0, 0.3) / 0.3
 
+        # gate: disc/adv terms require BOTH fillable depth and enough valid
+        # rendered pixels (reference train.py:539-541 and :662); gate2d alone
+        # is the depth-fill gate — the only condition under which the
+        # reference skips the whole sample (`continue`, train.py:539-541)
         gate = gate2d * gate_numvalid
         return (
-            loss2d, synth, target_img, valid_patches, gate, metrics,
+            loss2d, synth, target_img, valid_patches, (gate, gate2d), metrics,
             sample_weight_real, sample_weight_fake, weight_color_disc,
         )
 
@@ -817,10 +822,12 @@ class Trainer:
             if cfg.skip_batch_on_bad_depth and flags.use_2d:
                 # exact reference parity (train.py:539-541): unfillable depth
                 # skips the WHOLE batch — no optimizer/batch-stats/step
-                # change at all (the disc update above is already predicated
-                # on the same gate)
+                # change at all. Deliberately gate_depth, NOT the combined
+                # gate: the reference's num_valid check (train.py:662) only
+                # wraps the style/disc block (handled above) and still takes
+                # the generator step with the 3D losses.
                 new_gen_state = jax.tree_util.tree_map(
-                    lambda old, new: jnp.where(aux["gate2d"] > 0, new, old),
+                    lambda old, new: jnp.where(aux["gate_depth"] > 0, new, old),
                     gen_state,
                     stepped,
                 )

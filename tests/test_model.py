@@ -231,3 +231,27 @@ def test_pallas_conv_generator_matches_default():
     g = jax.grad(loss)(variables["params"])
     for leaf in jax.tree_util.tree_leaves(g):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_alt_conv_paths_bf16_head_precision():
+    """Under compute_dtype='bfloat16' the output heads pass no dtype and must
+    compute in f32 (nn.Conv's dtype=None promotion) in EVERY conv path —
+    pallas_conv and channels_first included. Outputs must agree with the
+    default path within bf16 body noise (a bf16-demoted head would diverge
+    far more on the final 1-channel convs)."""
+    cfg_ref = GeneratorConfig(nf=4, dtype="bfloat16")
+    gen_ref, variables = _init(cfg_ref)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(-3, 3, (1, 16, 16, 16, 4)).astype(np.float32))
+    m = jnp.asarray((rng.random((1, 16, 16, 16, 1)) > 0.5).astype(np.float32))
+    out_ref = gen_ref.apply(variables, x, m, pred_color=True, pred_sdf=True,
+                            pred_semantic=True, train=False)
+    for alt in (GeneratorConfig(nf=4, dtype="bfloat16", pallas_conv=True),
+                GeneratorConfig(nf=4, dtype="bfloat16", channels_first=True)):
+        gen_alt = Generator(alt)
+        out_alt = gen_alt.apply(variables, x, m, pred_color=True, pred_sdf=True,
+                                pred_semantic=True, train=False)
+        for a, b in zip(out_ref, out_alt):
+            assert b.dtype == jnp.float32
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=0.05, rtol=0.05)

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip("torch")  # repo convention (test_parity.py)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
