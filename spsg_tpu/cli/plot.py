@@ -13,8 +13,15 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--run_dir", required=True, help="training run dir (log.csv, args.txt)")
+    p.add_argument("--run_dir", "--log_path", dest="run_dir", required=True,
+                   help="training run dir (log.csv, args.txt); --log_path is "
+                   "the reference spelling (plot.py:11)")
     p.add_argument("--output", default="", help="output png (default <run_dir>/loss.png)")
+    p.add_argument("--name", default="",
+                   help="experiment name used in the figure title "
+                   "(reference plot.py:13)")
+    p.add_argument("--val", action=argparse.BooleanOptionalAction, default=True,
+                   help="include the validation curves (reference plot.py:12)")
     p.add_argument("--max_iter", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -45,6 +52,8 @@ def main(argv=None):
     }
 
     fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(10, 8), sharex=True)
+    if args.name:
+        fig.suptitle(args.name)
     it = df["iter"]
     ax1.plot(it, df["train_loss(total)"], label="total", lw=2, color="black")
     for col, w in weights.items():
@@ -61,7 +70,7 @@ def main(argv=None):
     m = iou >= 0
     ax2.plot(it[m], iou[m], label="train iou(occ)", color="tab:green")
     val_path = os.path.join(args.run_dir, "log_val.csv")
-    if os.path.isfile(val_path):
+    if args.val and os.path.isfile(val_path):
         dv = pd.read_csv(val_path)
         viou = dv["val_iou(occ)"].to_numpy()
         mv = viou >= 0
