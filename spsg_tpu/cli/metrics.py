@@ -28,10 +28,18 @@ def main(argv=None):
     p.add_argument("--target_suffix", default="_target-mesh.ply")
     p.add_argument("--num_samples", type=int, default=30000)
     p.add_argument("--output", default="", help="optional txt file for results")
+    p.add_argument(
+        "--inception_v3_path", default="",
+        help="torchvision inception_v3 .pth for Feature-l1/FID features "
+        "(reference metrics.py:37; random fixed-seed features when absent)",
+    )
     args = p.parse_args(argv)
 
     from ..inference import metrics as M
     from ..ops import mesh
+
+    if args.inception_v3_path:
+        M.set_inception_path(args.inception_v3_path)
 
     names = sorted(
         f[: -len(args.pred_suffix)]

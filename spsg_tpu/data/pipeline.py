@@ -141,6 +141,40 @@ def rescale_grids(
     return sdf_input, sdf_target, input_colors, target_colors, known, world2grid
 
 
+def torch_bilinear_resize(
+    img: np.ndarray, out_h: int, out_w: int, scale: float = 0.0
+) -> np.ndarray:
+    """Bit-replicate torch ``F.interpolate(mode='bilinear',
+    align_corners=False)`` (no antialias) on a (C, H, W) array.
+
+    torch maps destination pixel ``d`` to source coordinate
+    ``(d + 0.5) * s - 0.5`` clamped below at 0, then lerps the two
+    neighbors with edge-clamped indices (aten UpSampleLinear
+    ``compute_source_index_and_lambda``). The kernel scale ``s`` is
+    ``in/out`` when torch is called with ``size=`` but the *reciprocal of
+    the given scale_factor* when called with ``scale_factor=`` (they differ
+    when the factor doesn't divide the size) — pass ``scale`` to replicate
+    the latter. Used for the ``--subsample_tgt2d_factor`` low-pass
+    (reference scene_dataloader.py:161-167); equality vs torch is tested in
+    tests/test_dataset_integration.py."""
+    _, h, w = img.shape
+
+    def axis(n_in, n_out):
+        s = scale if scale > 0 else n_in / n_out
+        x = (np.arange(n_out, dtype=np.float64) + 0.5) * s - 0.5
+        x = np.maximum(x, 0.0)
+        i0 = np.minimum(np.floor(x).astype(np.int64), n_in - 1)
+        i1 = np.minimum(i0 + 1, n_in - 1)
+        t = (x - i0).astype(np.float32)
+        return i0, i1, t
+
+    r0, r1, tr = axis(h, out_h)
+    c0, c1, tc = axis(w, out_w)
+    rows = img[:, r0, :] * (1.0 - tr)[None, :, None] + img[:, r1, :] * tr[None, :, None]
+    out = rows[:, :, c0] * (1.0 - tc)[None, None, :] + rows[:, :, c1] * tc[None, None, :]
+    return out.astype(np.float32)
+
+
 def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     """Stack samples into a batch (reference scene_dataloader.py:15-47)."""
     batch: Dict[str, np.ndarray] = {}
@@ -371,20 +405,15 @@ class ChunkDataset:
                     # low-pass the target frame colors: bilinear downsample by
                     # the factor, then back up (reference
                     # scene_dataloader.py:161-167; applied before color-space
-                    # conversion). scipy order-1 zoom stands in for torch's
-                    # align_corners=False bilinear — kernels differ only at
-                    # image borders.
-                    from scipy.ndimage import zoom
+                    # conversion), replicating torch's align_corners=False
+                    # bilinear kernel exactly (tests/test_dataset_integration.py)
 
                     def _lowpass(c):  # (3, H, W) float
                         h, w = c.shape[1:]
                         f = self.subsamp2d_factor
-                        small = zoom(c, (1, 1.0 / f, 1.0 / f), order=1)
-                        return zoom(
-                            small,
-                            (1, h / small.shape[1], w / small.shape[2]),
-                            order=1,
-                        ).astype(np.float32)
+                        # down uses scale_factor semantics, up uses size=
+                        small = torch_bilinear_resize(c, h // f, w // f, scale=f)
+                        return torch_bilinear_resize(small, h, w)
 
                     colors_f = [_lowpass(c) for c in colors_f]
                 if self.color_space == "lab":

@@ -64,34 +64,48 @@ def chamfer_between_meshes(
     return chamfer_distance(pa, pb)
 
 
-_FEATURE_MODEL = None
+_INCEPTION_PARAMS = None
+_INCEPTION_PATH = ""
 
 
-def _feature_extractor():
-    """Deep feature extractor for Feature-l1 (reference uses torch.hub
-    Inception-v3, metrics.py:45-53). Uses our VGG feature stack; pretrained
-    weights load when a local torchvision checkpoint exists, else fixed-seed
-    random features (still a valid distance, not ImageNet-aligned)."""
-    global _FEATURE_MODEL
-    if _FEATURE_MODEL is None:
-        from ..models.vgg import load_vgg_for_style
+def set_inception_path(path: str) -> None:
+    """Point the extractor at a torchvision inception_v3 .pth
+    (--inception_v3_path, reference metrics.py:37)."""
+    global _INCEPTION_PATH, _INCEPTION_PARAMS
+    _INCEPTION_PATH = path
+    _INCEPTION_PARAMS = None
 
-        _FEATURE_MODEL = load_vgg_for_style(style_layers=(8,))
-    return _FEATURE_MODEL
+
+def _inception_params():
+    """Inception-v3 extractor params (reference uses torchvision
+    inception_v3, metrics.py:45-53; architecture rebuilt in
+    models/inception.py). Pretrained when a torchvision .pth is available,
+    else fixed-seed random features (still a valid distance, not
+    ImageNet-aligned — a loud warning fires)."""
+    global _INCEPTION_PARAMS
+    if _INCEPTION_PARAMS is None:
+        from ..models.inception import load_inception
+
+        _INCEPTION_PARAMS = load_inception(_INCEPTION_PATH)
+    return _INCEPTION_PARAMS
 
 
 def feature_l1(img1: np.ndarray, img2: np.ndarray) -> float:
-    """Mean absolute difference of deep features of two RGB images in [0,1]
-    (reference metrics.py:92-100)."""
+    """Mean absolute difference of Inception-v3 features of two RGB images
+    in [0,1] (reference metrics.py:92-100 feeds images through eval
+    inception_v3 — i.e. class logits — and differences the outputs; we use
+    mean |.| where the reference's raw ``sum(a - b)`` would cancel signs)."""
     import jax
     import jax.numpy as jnp
 
-    model, params = _feature_extractor()
+    from ..models.inception import inception_v3, preprocess
+
+    params = _inception_params()
     a = jnp.asarray(img1, jnp.float32)[None]
     b = jnp.asarray(img2, jnp.float32)[None]
     # params as an argument (not a capture): captured arrays embed in the
     # lowered module and can exceed remote-compile payload limits
-    fn = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
+    fn = jax.jit(lambda p, x: inception_v3(p, preprocess(x))[1])
     fa = fn(params, a)
     fb = fn(params, b)
     return float(jnp.mean(jnp.abs(fa - fb)))
@@ -116,13 +130,15 @@ def fid(features_a: np.ndarray, features_b: np.ndarray, eps: float = 1e-6) -> fl
 
 
 def image_features(images) -> np.ndarray:
-    """Spatially-pooled deep features for a list of RGB images in [0,1]
-    (feeds fid(); same extractor as feature_l1 — pretrained when VGG weights
-    are available, see models/vgg.py)."""
+    """Inception-v3 2048-dim pool features for a list of RGB images in [0,1]
+    (feeds fid(); the standard FID feature layer — pretrained when an
+    inception .pth is available, see models/inception.py)."""
     import jax
     import jax.numpy as jnp
 
-    model, params = _feature_extractor()
-    fn = jax.jit(lambda p, x: jnp.mean(model.apply({"params": p}, x)[0], axis=(1, 2)))
+    from ..models.inception import inception_v3, preprocess
+
+    params = _inception_params()
+    fn = jax.jit(lambda p, x: inception_v3(p, preprocess(x))[0])
     feats = [np.asarray(fn(params, jnp.asarray(im, jnp.float32)[None]))[0] for im in images]
     return np.stack(feats)

@@ -91,17 +91,81 @@ def convert_generator_state_dict(state_dict) -> Dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def convert_discriminator_state_dict(state_dict) -> Dict:
+    """torch Discriminator2D state_dict -> {'params', 'spectral_stats'}.
+
+    The reference wraps each 4x4/2 conv in legacy
+    ``torch.nn.utils.spectral_norm`` (model.py:19-24), which stores the
+    unnormalized ``weight_orig`` plus power-iteration vectors ``weight_u``
+    ((O,)) / ``weight_v`` ((I*kh*kw,)) and renormalizes every forward. Flax's
+    ``nn.SpectralNorm`` runs the mathematically identical iteration
+    (v = norm(W^T u); u = norm(W v); sigma = u^T W v — invariant to the
+    frameworks' different kernel-flatten orders), seeded from a stored
+    ``u`` of the same shape, so converting ``weight_orig`` -> kernel and
+    ``weight_u`` -> u continues training with exact reference dynamics
+    (parity-tested in tests/test_parity.py). ``sigma`` is recomputed from
+    (u, v, W) for the stored stat; the forward never reads it (it recomputes
+    from u). The final 1x1 conv is not spectral-normalized (model.py:76-78),
+    matching our plain ``final`` conv."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+    # torch Sequential member names in construction order (model.py:57-76):
+    # positional '0', then add_module'd 'p1', 'p2', 'p3', ...
+    torch_names = ["0"] + [f"p{k}" for k in range(1, len(_RF_SIZES))]
+    k = 0
+    for name in torch_names:
+        base = f"discriminator_net.{name}.conv2d"
+        wkey = f"{base}.weight_orig" if f"{base}.weight_orig" in sd else f"{base}.weight"
+        if wkey not in sd:
+            break
+        w = sd[wkey]  # (O, I, kh, kw)
+        entry = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+        if f"{base}.bias" in sd:
+            entry["bias"] = sd[f"{base}.bias"]
+        params[f"sn_conv_{k}"] = entry
+        if f"{base}.weight_u" in sd:
+            u = sd[f"{base}.weight_u"].astype(np.float32)  # (O,)
+            wm = w.reshape(w.shape[0], -1).astype(np.float32)  # (O, I*kh*kw)
+            if f"{base}.weight_v" in sd:
+                v = sd[f"{base}.weight_v"].astype(np.float32)
+            else:
+                v = wm.T @ u
+                v /= max(float(np.linalg.norm(v)), 1e-12)
+            sigma = float(u @ (wm @ v))
+            stats[f"SpectralNorm_{k}"] = {
+                f"sn_conv_{k}/kernel/u": u[None, :],
+                f"sn_conv_{k}/kernel/sigma": np.asarray(sigma, np.float32),
+            }
+        k += 1
+    if "final.weight" in sd:
+        params["final"] = {
+            "kernel": np.transpose(sd["final.weight"], (2, 3, 1, 0)),
+            "bias": sd["final.bias"],
+        }
+    return {"params": params, "spectral_stats": stats}
+
+
+_RF_SIZES = (4, 10, 22, 46, 94, 190, 382, 766)  # model.py:44
+
+
 def load_reference_checkpoint(path: str) -> Tuple[Dict, int]:
-    """Load a reference .pth Generator checkpoint into Flax variables.
+    """Load a reference .pth checkpoint (generator OR discriminator) into
+    Flax variables.
 
     Returns (variables, epoch). The reference stores
-    {'epoch','state_dict','optimizer'} (train.py:1316-1320); the torch Adam
+    {'epoch','state_dict','optimizer'} (train.py:1316-1320) for both the
+    model and the disc (saved separately, train.py:781-786); the torch Adam
     moments are NOT converted (optax state layout differs) — resuming from a
-    .pth restarts the optimizer with fresh moments at the stored epoch."""
+    .pth restarts the optimizer with fresh moments at the stored epoch.
+    Discriminator checkpoints are detected by their ``discriminator_net.*``
+    keys and yield {'params','spectral_stats'} instead."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu")
     sd = ckpt.get("state_dict", ckpt)
     epoch = int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    if any(k.startswith("discriminator_net.") for k in sd):
+        return convert_discriminator_state_dict(sd), epoch
     return convert_generator_state_dict(sd), epoch

@@ -188,8 +188,7 @@ def run_training(
         if d2 is None:
             raise ValueError(
                 f"--retrain_disc {retrain_disc!r}: checkpoint has no "
-                "discriminator state (reference .pth conversion covers the "
-                "generator only)"
+                "discriminator state"
             )
         disc_state = d2
         print(f"loaded disc checkpoint {retrain_disc}")

@@ -147,6 +147,22 @@ def load_any_checkpoint(path: str, gen_state: GenState, disc_state: Optional[Dis
         from ..models.convert import load_reference_checkpoint
 
         variables, epoch = load_reference_checkpoint(path)
+        if "spectral_stats" in variables:
+            # discriminator .pth (reference train.py:171-178 retrain_disc)
+            if disc_state is None:
+                raise ValueError(
+                    f"{path!r} is a discriminator checkpoint but no "
+                    "discriminator is configured (weight_disc_loss == 0)"
+                )
+            asarr = functools.partial(jax.tree_util.tree_map, jnp.asarray)
+            # keep template stats for any conv whose power-iteration vectors
+            # were absent from the .pth; converted entries override
+            stats = dict(disc_state.spectral_stats)
+            stats.update(asarr(variables["spectral_stats"]))
+            disc_state = disc_state.replace(
+                params=asarr(variables["params"]), spectral_stats=stats
+            )
+            return gen_state, disc_state, epoch
         gen_state = gen_state.replace(
             params=jax.tree_util.tree_map(jnp.asarray, variables["params"]),
             batch_stats=jax.tree_util.tree_map(jnp.asarray, variables["batch_stats"]),

@@ -68,3 +68,36 @@ def test_load_reference_pth_checkpoint(tmp_path):
     w_torch = tgen.geo_0[0].weight.detach().numpy()
     w_flax = np.asarray(gen2.params["geo_0a"]["Conv_0"]["kernel"])
     np.testing.assert_allclose(np.transpose(w_flax, (4, 3, 0, 1, 2)), w_torch, rtol=1e-6)
+
+
+def test_load_reference_disc_pth_checkpoint(tmp_path):
+    """--retrain_disc with a reference-format discriminator .pth
+    (torch train.py:171-178, saved :781-786): weight_orig/weight_u convert
+    into our params + spectral_stats via load_any_checkpoint."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference/torch")
+    import model as ref_model
+
+    from spsg_tpu.training.state import load_any_checkpoint
+
+    tdisc = ref_model.Discriminator2D(
+        nf_in=CFG.disc_nf_in, nf=CFG.nf_disc, patch_size=CFG.patch_size,
+        image_dims=(CFG.style_height, CFG.style_width), patch=True,
+        use_bias=True, disc_loss_type=CFG.disc_loss_type,
+    )
+    p = str(tmp_path / "disc-iter10-epoch0.pth")
+    torch.save({"epoch": 0, "state_dict": tdisc.state_dict(), "optimizer": {}}, p)
+
+    gen, disc = init_states(CFG, jax.random.PRNGKey(0))
+    gen2, disc2, _ = load_any_checkpoint(p, gen, disc)
+    # generator untouched, disc params replaced with the converted weights
+    w_torch = tdisc.discriminator_net[0].conv2d.weight_orig.detach().numpy()
+    w_flax = np.asarray(disc2.params["sn_conv_0"]["kernel"])
+    np.testing.assert_allclose(np.transpose(w_flax, (3, 2, 0, 1)), w_torch, rtol=1e-6)
+    u_torch = tdisc.discriminator_net[0].conv2d.weight_u.detach().numpy()
+    u_flax = np.asarray(disc2.spectral_stats["SpectralNorm_0"]["sn_conv_0/kernel/u"])[0]
+    np.testing.assert_allclose(u_flax, u_torch, rtol=1e-6)
+    assert gen2 is gen

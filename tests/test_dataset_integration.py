@@ -131,3 +131,37 @@ def test_disk_frame_loading(tmp_path):
     s2 = ds2[0]
     assert s2["images_depth"].shape == (2, 48, 64)
     assert s2["images_view"].shape == (2, 4, 4)
+
+
+def test_torch_bilinear_resize_matches_torch():
+    """torch_bilinear_resize == F.interpolate(mode='bilinear',
+    align_corners=False) including the down-then-up low-pass used by
+    --subsample_tgt2d_factor (reference scene_dataloader.py:161-167)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import numpy as np
+
+    from spsg_tpu.data.pipeline import torch_bilinear_resize
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 48, 64)).astype(np.float32)
+    t = torch.from_numpy(x)[None]
+    for f in (2, 3, 4):
+        small_t = torch.nn.functional.interpolate(
+            t, scale_factor=1.0 / f, mode="bilinear", align_corners=False
+        )
+        up_t = torch.nn.functional.interpolate(
+            small_t, size=(48, 64), mode="bilinear", align_corners=False
+        )
+        small = torch_bilinear_resize(x, small_t.shape[2], small_t.shape[3], scale=f)
+        assert small.shape == tuple(small_t.shape[1:])
+        np.testing.assert_allclose(small, small_t.numpy()[0], atol=2e-5, rtol=1e-4)
+        up = torch_bilinear_resize(small, 48, 64)
+        np.testing.assert_allclose(up, up_t.numpy()[0], atol=2e-5, rtol=1e-4)
+    # odd output sizes (non-divisible factor) hit the edge-clamp path
+    small = torch_bilinear_resize(x, 17, 23)
+    small_t = torch.nn.functional.interpolate(
+        t, size=(17, 23), mode="bilinear", align_corners=False
+    )
+    np.testing.assert_allclose(small, small_t.numpy()[0], atol=2e-5, rtol=1e-4)

@@ -152,3 +152,51 @@ def test_discriminator_parity():
     np.testing.assert_allclose(
         np.asarray(f_valid)[..., 0], t_valid.numpy()[:, 0], atol=1e-5
     )
+
+
+def test_discriminator_converter_spectral_parity():
+    """convert_discriminator_state_dict: torch legacy spectral_norm state
+    (weight_orig/weight_u/weight_v, model.py:19-24) -> flax nn.SpectralNorm.
+    Both frameworks run the identical power iteration (v = norm(W^T u);
+    u = norm(W v); sigma = u^T W v) from the stored u, so a torch TRAIN-mode
+    forward must match our spectral-normalized apply exactly."""
+    import model as ref_model
+
+    import jax.numpy as jnp
+    from spsg_tpu.models import Discriminator2D
+    from spsg_tpu.models.convert import convert_discriminator_state_dict
+
+    H, W, nf_in, nf = 64, 80, 12, 4
+    tdisc = ref_model.Discriminator2D(
+        nf_in=nf_in, nf=nf, patch_size=24, image_dims=(H, W), patch=True,
+        use_bias=True, disc_loss_type="vanilla",
+    )
+    # convert BEFORE the torch forward: train mode updates u/v in place,
+    # and both sides must start the iteration from the same stored u
+    sd = {k: v.detach().numpy().copy() for k, v in tdisc.state_dict().items()}
+    variables = convert_discriminator_state_dict(sd)
+
+    tdisc.train()
+    x = np.random.default_rng(7).standard_normal((2, nf_in, H, W)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tdisc(torch.from_numpy(x))
+
+    fdisc = Discriminator2D(
+        nf_in=nf_in, nf=nf, patch_size=24, image_dims=(H, W), patch=True,
+        spectral_norm=True,
+    )
+    f_out, mutated = fdisc.apply(
+        {"params": variables["params"], "spectral_stats": variables["spectral_stats"]},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        update_sn_stats=True,
+        mutable=["spectral_stats"],
+    )
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=2e-4, rtol=1e-3)
+
+    # the updated u vectors must also agree (training continues identically)
+    for k, m in enumerate(tdisc.discriminator_net):
+        t_u = m.conv2d.weight_u.detach().numpy()
+        f_u = np.asarray(
+            mutated["spectral_stats"][f"SpectralNorm_{k}"][f"sn_conv_{k}/kernel/u"]
+        )[0]
+        np.testing.assert_allclose(f_u, t_u, atol=1e-5, rtol=1e-4)
