@@ -265,6 +265,8 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         **({"straggler_frac": args.straggler} if getattr(args, "straggler", None) is not None else {}),
         **({"march_block": args.march_block} if getattr(args, "march_block", 0) else {}),
         **({"coarse_hops": args.hops} if getattr(args, "hops", 0) else {}),
+        pair_raycast=getattr(args, "pair", False),
+        compact_across_batch=getattr(args, "compact_global", False),
     )
     _phase(f"building synthetic batch (dims={dims}, B={batch_size})")
     batch = synthetic.make_chunk_batch(
@@ -477,6 +479,10 @@ def main():
                    help="force three separate raycast marches (config default)")
     p.add_argument("--fuse", action="store_true",
                    help="force the single stacked tri-raycast march")
+    p.add_argument("--pair", action="store_true",
+                   help="one stacked march for input+target (pred separate)")
+    p.add_argument("--compact_global", action="store_true",
+                   help="cross-batch straggler compaction (bit-identical)")
     args = p.parse_args()
 
     try:

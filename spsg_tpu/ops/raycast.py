@@ -86,6 +86,16 @@ class RaycastConfig:
     # positions come from the exact lattice expression, so results stay
     # BIT-IDENTICAL to the uncompacted march.
     straggler_frac: float = 0.0
+    # Compact stragglers ACROSS batch rows (and, via batch-stacking, across
+    # grids): the per-row compaction above still waits for the slowest row to
+    # fall below frac*P before exiting phase 1, and keeps B x cap slots in
+    # phase 2 even when most rows finished. Global mode exits phase 1 when
+    # the TOTAL alive count drops below frac*B*P and compacts the survivors
+    # of all rows into one (1, frac*B*P) block — each compacted ray carries
+    # its batch row's origin and a gather offset into the batch-flattened
+    # cell/window volumes. Sample positions are unchanged, so results stay
+    # BIT-IDENTICAL (tests/test_raycast.py::test_global_compaction_bit_identical).
+    compact_across_batch: bool = False
 
     def __post_init__(self):
         # frac >= 1 would silently disable compaction (cap == P); catch the
@@ -160,9 +170,12 @@ def build_march_cells(sdf: jax.Array, valid: jax.Array) -> jax.Array:
     return jnp.where(all_ok, cells, nan)
 
 
-def _cell_trilerp(cells_flat, pos_x, pos_y, pos_z, dims):
+def _cell_trilerp(cells_flat, pos_x, pos_y, pos_z, dims, idx_offset=None):
     """Trilinear interpolation via the packed cell volume. Returns (value,
-    ok); invalid samples are NaN -> ok False. cells_flat: (B, N, 8)."""
+    ok); invalid samples are NaN -> ok False. cells_flat: (B, N, 8).
+    ``idx_offset`` (B, Q) shifts each ray's flat cell index — used by the
+    cross-batch compacted march, whose rays gather from a batch-flattened
+    (1, B*N, 8) volume with per-ray row offsets."""
     Z, Y, X = dims
     bx = jnp.floor(pos_x)
     by = jnp.floor(pos_y)
@@ -177,6 +190,8 @@ def _cell_trilerp(cells_flat, pos_x, pos_y, pos_z, dims):
     idx = _flat_index(
         jnp.clip(ix, 0, X - 1), jnp.clip(iy, 0, Y - 1), jnp.clip(iz, 0, Z - 1), dims
     )
+    if idx_offset is not None:
+        idx = idx + (idx_offset if idx.ndim == idx_offset.ndim else idx_offset[..., None])
     B = cells_flat.shape[0]
     flat_shape = idx.shape[1:]
     c = jnp.take_along_axis(
@@ -273,7 +288,7 @@ def build_block_windows(cell_ok: jax.Array, block: int) -> jax.Array:
     return jnp.stack(chans, axis=-1)
 
 
-def _skip_hop(k, dead, rays, t0, t_stop, step, win_flat, nb, blockf, shift):
+def _skip_hop(k, dead, rays, t0, t_stop, step, win_flat, nb, blockf, shift, widx_offset=None):
     """One conservative skip hop, shared by both marches: classify the next
     SKIP_HORIZON lattice samples (starting at per-ray index ``k``) against
     the packed 2x2x2 block-window flags and return ``skip_n`` (B, P) — the
@@ -315,6 +330,8 @@ def _skip_hop(k, dead, rays, t0, t_stop, step, win_flat, nb, blockf, shift):
     siy = jnp.clip(basey + 1, 0, nby + 1).astype(jnp.int32)
     siz = jnp.clip(basez + 1, 0, nbz + 1).astype(jnp.int32)
     widx = (siz * (nby + 2) + siy) * (nbx + 2) + six
+    if widx_offset is not None:
+        widx = widx + widx_offset
     row = jnp.take_along_axis(
         win_flat, widx.reshape(B, -1, 1), axis=1, mode="clip"
     ).reshape(B, P, 8)
@@ -386,22 +403,22 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
     dy = direction[..., 1]
     dz = direction[..., 2]
 
-    def make_sample(dxq, dyq, dzq):
+    def make_sample(oxq, oyq, ozq, dxq, dyq, dzq, cellsq, coffq=None):
         def sample(t):
             """Trilerp at ray length t; t may be (B, Q) or (B, Q, K)."""
             if t.ndim == 3:
-                px = ox[..., None] + t * dxq[..., None]
-                py = oy[..., None] + t * dyq[..., None]
-                pz = oz[..., None] + t * dzq[..., None]
+                px = oxq[..., None] + t * dxq[..., None]
+                py = oyq[..., None] + t * dyq[..., None]
+                pz = ozq[..., None] + t * dzq[..., None]
             else:
-                px = ox + t * dxq
-                py = oy + t * dyq
-                pz = oz + t * dzq
-            return _cell_trilerp(cells_flat, px, py, pz, dims)
+                px = oxq + t * dxq
+                py = oyq + t * dyq
+                pz = ozq + t * dzq
+            return _cell_trilerp(cellsq, px, py, pz, dims, coffq)
 
         return sample
 
-    sample = make_sample(dx, dy, dz)  # full-P: init sample + bisection
+    sample = make_sample(ox, oy, oz, dx, dy, dz, cells_flat)  # full-P: init sample + bisection
     step = cfg.ray_increment
     d0, _ = sample(t0)
     prev0 = d0
@@ -422,22 +439,29 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
 
     offs = jnp.arange(F, dtype=jnp.float32)
 
-    def run_march(init, t0q, t_stopq, dxq, dyq, dzq, stop_alive_gt=None):
+    def run_march(
+        init, t0q, t_stopq, oxq, oyq, ozq, dxq, dyq, dzq,
+        cellsq, coffq=None, winq=None, woffq=None,
+        stop_alive_gt=None, count_global=False,
+    ):
         """March the (B, Q) ray set in ``init`` to completion — or, with
-        ``stop_alive_gt``, until at most that many rays per batch row are
+        ``stop_alive_gt``, until at most that many rays per batch row
+        (``count_global=False``) or in TOTAL (``count_global=True``) are
         still marching (the straggler-compaction exit). Per-ray results are
         independent of how iterations were partitioned: every sample position
         comes from the exact lattice expression t0 + k * step."""
-        sampleq = make_sample(dxq, dyq, dzq)
+        sampleq = make_sample(oxq, oyq, ozq, dxq, dyq, dzq, cellsq, coffq)
         if cfg.coarse_skip:
-            raysq = (ox, oy, oz, dxq, dyq, dzq)
+            raysq = (oxq, oyq, ozq, dxq, dyq, dzq)
+            winq_ = win_flat if winq is None else winq
 
             def hop(k, prev, found):
                 """Jump the leading run of provably-invalid samples and reset
                 prev to NaN — exactly what evaluating them would produce."""
                 dead = found | (t0q + k * step > t_stopq)
                 skip_n = _skip_hop(
-                    k, dead, raysq, t0q, t_stopq, step, win_flat, nb, blockf, 0.0
+                    k, dead, raysq, t0q, t_stopq, step, winq_, nb, blockf, 0.0,
+                    widx_offset=woffq,
                 )
                 return k + skip_n, jnp.where(skip_n > 0, jnp.nan, prev)
 
@@ -445,7 +469,8 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
             alive = ~c["found"] & (t0q + c["k"] * step <= t_stopq)
             ok = (c["it"] < n_iter_max) & jnp.any(alive)
             if stop_alive_gt is not None:
-                ok &= jnp.max(jnp.sum(alive, axis=1)) > stop_alive_gt
+                count = jnp.sum(alive) if count_global else jnp.max(jnp.sum(alive, axis=1))
+                ok &= count > stop_alive_gt
             return ok
 
         def body(c):
@@ -509,8 +534,47 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
     # frac > 0 always compacts: tiny fractions clamp to one survivor slot
     # instead of silently disabling compaction (ADVICE r2)
     cap = max(1, int(P * cfg.straggler_frac)) if cfg.straggler_frac > 0 else 0
-    if 0 < cap < P:
-        c = run_march(init, t0, t_stop, dx, dy, dz, stop_alive_gt=cap)
+    state_keys = ("k", "prev", "found", "t_lo", "d_lo", "t_hi", "d_hi")
+    if 0 < cap < P and cfg.compact_across_batch and B > 1:
+        # global compaction: phase 1 exits when the TOTAL alive count fits in
+        # frac*B*P slots; survivors of ALL rows compact into one (1, capg)
+        # block whose rays carry per-ray origins and gather offsets into the
+        # batch-flattened cell/window volumes
+        capg = max(1, int(B * P * cfg.straggler_frac))
+        c = run_march(
+            init, t0, t_stop, ox, oy, oz, dx, dy, dz, cells_flat,
+            stop_alive_gt=capg, count_global=True,
+        )
+        alive = ~c["found"] & (t0 + c["k"] * step <= t_stop)
+        # alive-first stable order over the flattened (B*P) ray set: batch-
+        # major pixel order is preserved, so gather locality survives
+        sel = jnp.argsort(~alive.reshape(-1), stable=True)[:capg]  # (capg,)
+        b_sel = (sel // P).astype(jnp.int32)
+        takeg = lambda a: jnp.broadcast_to(a, (B, P)).reshape(-1)[sel][None]
+        init2 = dict(
+            it=c["it"], **{key: takeg(c[key]) for key in state_keys}
+        )
+        ncells = cells_flat.shape[1]
+        coff = (b_sel * ncells)[None]
+        og = lambda a: a[:, 0][b_sel][None]  # (B, 1) origins -> (1, capg)
+        winq = woff = None
+        if cfg.coarse_skip:
+            winq = win_flat.reshape(1, -1, 8)
+            woff = (b_sel * win_flat.shape[1])[None]
+        c2 = run_march(
+            init2, takeg(t0), takeg(t_stop), og(ox), og(oy), og(oz),
+            takeg(dx), takeg(dy), takeg(dz),
+            cells_flat.reshape(1, -1, 8), coffq=coff, winq=winq, woffq=woff,
+        )
+        # scatter back (sel unique; padding slots were dead rays whose
+        # marched state did not change)
+        for key in ("found", "t_lo", "d_lo", "t_hi", "d_hi"):
+            c[key] = c[key].reshape(-1).at[sel].set(c2[key][0]).reshape(B, P)
+        c["it"] = c2["it"]
+    elif 0 < cap < P:
+        c = run_march(
+            init, t0, t_stop, ox, oy, oz, dx, dy, dz, cells_flat, stop_alive_gt=cap
+        )
         alive = ~c["found"] & (t0 + c["k"] * step <= t_stop)
         # alive-first stable order: every still-marching ray lands in the
         # first `cap` slots (phase 1 guarantees <= cap alive per row), in
@@ -526,9 +590,12 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
         # exactly like the plain march's cutoff
         init2 = dict(
             it=c["it"],
-            **{key: take(c[key]) for key in ("k", "prev", "found", "t_lo", "d_lo", "t_hi", "d_hi")},
+            **{key: take(c[key]) for key in state_keys},
         )
-        c2 = run_march(init2, take(t0), take(t_stop), take(dx), take(dy), take(dz))
+        c2 = run_march(
+            init2, take(t0), take(t_stop), ox, oy, oz,
+            take(dx), take(dy), take(dz), cells_flat,
+        )
         # scatter the stragglers' results back (sel indices are unique per
         # row; padding slots were dead rays whose state did not change)
         rows = jnp.arange(B)[:, None]
@@ -536,7 +603,7 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
             c[key] = c[key].at[rows, sel].set(c2[key])
         c["it"] = c2["it"]
     else:
-        c = run_march(init, t0, t_stop, dx, dy, dz)
+        c = run_march(init, t0, t_stop, ox, oy, oz, dx, dy, dz, cells_flat)
     found = c["found"]
 
     # bisection refinement (kernel findIntersectionBisection :166-187)

@@ -108,6 +108,17 @@ class TrainConfig:
     # compaction already handle the within-grid tail). Fusing was only ahead
     # before those existed, when loop control dominated.
     fuse_raycast: bool = False
+    # middle ground between fused and separate: ONE stacked march for the
+    # input+target grids (both scene-like, similar trip counts — unlike the
+    # noisy untrained prediction, which keeps its own march). Bit-identical
+    # outputs; pairs well with compact_across_batch, which shares the
+    # straggler tail across the two grids.
+    pair_raycast: bool = False
+    # cross-batch straggler compaction (ops/raycast.py compact_across_batch):
+    # compact survivors of ALL batch rows jointly instead of per row —
+    # bit-identical, helps at B>1 where per-row compaction waits for the
+    # slowest row.
+    compact_across_batch: bool = False
     # per-(chunk, frames) device-side LRU of the parameter-independent view
     # precomputation (input/target march hits + depth chain; the reference
     # recomputes them every step, train.py:563,590). Entries are a few MB of

@@ -68,6 +68,7 @@ def _raycast_cfg(cfg: TrainConfig) -> RaycastConfig:
         straggler_frac=cfg.straggler_frac,
         march_block=cfg.march_block,
         coarse_hops=cfg.coarse_hops,
+        compact_across_batch=cfg.compact_across_batch,
     )
 
 
@@ -159,17 +160,35 @@ class Trainer:
         )
 
         out = dict(images_normals=images_normals, frames_ok=frames_ok)
-        in_hits = find_surface_crossings(input_sdf, input_valid, view, intr, rc)
-        out.update(
-            in_hit=in_hits["hit"], in_hit_idx=in_hits["hit_idx"],
-            in_depth=in_hits["depth"],
-        )
-        if cfg.project_targets:
-            tgt_hits = find_surface_crossings(target_sdf, tgt_valid, view, intr, rc)
-            out.update(
-                tgt_hit=tgt_hits["hit"], tgt_hit_idx=tgt_hits["hit_idx"],
-                tgt_depth=tgt_hits["depth"],
+        if cfg.pair_raycast and cfg.project_targets:
+            # one stacked march for both scene-like grids (bit-identical;
+            # with compact_across_batch the straggler tail is shared)
+            B = input_sdf.shape[0]
+            hits = find_surface_crossings(
+                jnp.concatenate([input_sdf, target_sdf], axis=0),
+                jnp.concatenate([input_valid, tgt_valid], axis=0),
+                jnp.concatenate([view, view], axis=0),
+                jnp.concatenate([intr, intr], axis=0),
+                rc,
             )
+            out.update(
+                in_hit=hits["hit"][:B], in_hit_idx=hits["hit_idx"][:B],
+                in_depth=hits["depth"][:B],
+                tgt_hit=hits["hit"][B:], tgt_hit_idx=hits["hit_idx"][B:],
+                tgt_depth=hits["depth"][B:],
+            )
+        else:
+            in_hits = find_surface_crossings(input_sdf, input_valid, view, intr, rc)
+            out.update(
+                in_hit=in_hits["hit"], in_hit_idx=in_hits["hit_idx"],
+                in_depth=in_hits["depth"],
+            )
+            if cfg.project_targets:
+                tgt_hits = find_surface_crossings(target_sdf, tgt_valid, view, intr, rc)
+                out.update(
+                    tgt_hit=tgt_hits["hit"], tgt_hit_idx=tgt_hits["hit_idx"],
+                    tgt_depth=tgt_hits["depth"],
+                )
         if cfg.weight_missing_color > 1:
             from ..ops.raycast import raycast_occ
 
@@ -523,6 +542,36 @@ class Trainer:
             rc_pred = shade_hits(
                 pred_sdf_g, color01, pred_normals, semantic_grid,
                 hits_slice((n_stack - 1) * B, n_stack * B), rc,
+            )
+        elif cfg.pair_raycast and cfg.project_targets:
+            # paired march: input+target stack into ONE march (similar trip
+            # counts — both are scene TSDFs), the noisier prediction keeps
+            # its own; shading stays per grid. Bit-identical outputs.
+            p_sdf = stack(sg(input_sdf), sg(target_sdf))
+            p_valid = stack(input_valid, tgt_valid)
+            p_view = jnp.concatenate([view, view], axis=0)
+            p_intr = jnp.concatenate([intr, intr], axis=0)
+            hits_pair = find_surface_crossings(p_sdf, p_valid, p_view, p_intr, rc)
+            pair_slice = lambda a, b: {
+                k: (v[a:b] if k != "n_iters" else v) for k, v in hits_pair.items()
+            }
+            rc_in = jax.tree_util.tree_map(
+                sg,
+                shade_hits(
+                    sg(input_sdf), sg(input_colors01), sg(input_normals),
+                    jnp.zeros_like(sem_onehot), pair_slice(0, B), rc,
+                ),
+            )
+            rc_tgt = jax.tree_util.tree_map(
+                sg,
+                shade_hits(
+                    sg(target_sdf), sg(tgt_colors01), tgt_normals,
+                    sg(sem_onehot), pair_slice(B, 2 * B), rc,
+                ),
+            )
+            rc_pred = raycast(
+                pred_sdf_g, surface_pred, color01, pred_normals,
+                semantic_grid, view, intr, rc,
             )
         else:
             # three separate marches (reference structure, train.py:563,590,626):

@@ -352,3 +352,41 @@ def test_coarse_skip_reduces_iterations():
         )
         iters[name] = int(out["n_iters"])
     assert iters["skip"] < iters["plain"], iters
+
+
+def test_global_compaction_bit_identical():
+    """Cross-batch straggler compaction (compact_across_batch): survivors of
+    ALL batch rows compact into one block with per-ray origins and gather
+    offsets into the batch-flattened cell/window volumes. Sample positions
+    are unchanged, so hit/depth/voxel outputs must match the plain AND the
+    per-row-compacted march bitwise — on a batch mixing different scenes and
+    cameras."""
+    import dataclasses
+
+    dims = (64, 64, 64)
+    s1, v1 = _blob_scene(dims, seed=5)
+    s2, v2 = _blob_scene(dims, seed=9)
+    s3, v3 = _plane_scene(dims, z0=30.0)
+    view_a, intr_a = _down_camera(dims, 60.0)
+    view_b, intr_b = _oblique_camera(dims)
+    sdf = jnp.asarray(np.stack([s1, s2, s3]))
+    valid = jnp.asarray(np.stack([v1, v2, v3]))
+    views = jnp.asarray(np.stack([view_a, view_b, view_a]))
+    intrs = jnp.asarray(np.stack([intr_a, intr_b, intr_a]))
+    base = _cfg(depth_max=200.0)
+    for skip in (True, False):
+        outs = {}
+        for name, kw in (
+            ("global", dict(straggler_frac=0.125, compact_across_batch=True)),
+            ("row", dict(straggler_frac=0.125)),
+            ("plain", dict(straggler_frac=0.0)),
+        ):
+            cfg = dataclasses.replace(base, coarse_skip=skip, **kw)
+            out = raycast.find_surface_crossings(sdf, valid, views, intrs, cfg)
+            outs[name] = {k: np.asarray(v) for k, v in out.items() if k != "n_iters"}
+        assert outs["global"]["hit"].sum() > 50
+        for ref_name in ("row", "plain"):
+            for k in outs[ref_name]:
+                np.testing.assert_array_equal(
+                    outs["global"][k], outs[ref_name][k], err_msg=f"{ref_name}:{k}"
+                )

@@ -471,3 +471,37 @@ def test_render_cache_training_bit_identical(tmp_path):
         jax.tree_util.tree_flatten_with_path(finals[1])[0],
     ):
         np.testing.assert_array_equal(la, lb, err_msg=str(pa))
+
+
+def test_pair_and_global_compaction_step_bit_identical():
+    """pair_raycast (input+target share one march) and compact_across_batch
+    (global straggler compaction) only reschedule march iterations — every
+    metric and parameter update must be BIT-identical to the default step,
+    both in-step and through the precompute_views cache path."""
+    gen_key, step_key = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+    flags = StepFlags(
+        pred_sdf=True, pred_color=True, pred_semantic=True, use_2d=True, use_disc=True
+    )
+    results = {}
+    for name, kw in (
+        ("default", {}),
+        ("pair_global", dict(pair_raycast=True, compact_across_batch=True)),
+    ):
+        cfg = _tiny_cfg(**kw)
+        trainer = Trainer(cfg)
+        batch = _batch(cfg, with_frames=True)
+        gen_state, disc_state = init_states(cfg, gen_key)
+        g, d, m = trainer.step(gen_state, disc_state, batch, step_key, flags)
+        pre = trainer.precompute_views(batch)
+        results[name] = (g, m, {k: np.asarray(v) for k, v in pre.items()})
+    g_a, m_a, pre_a = results["default"]
+    g_b, m_b, pre_b = results["pair_global"]
+    for k in m_a:
+        np.testing.assert_array_equal(np.asarray(m_a[k]), np.asarray(m_b[k]), err_msg=k)
+    for (pa, la), (_, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(g_a.params)[0],
+        jax.tree_util.tree_flatten_with_path(g_b.params)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb), err_msg=str(pa))
+    for k in pre_a:
+        np.testing.assert_array_equal(pre_a[k], pre_b[k], err_msg=f"precomp:{k}")
