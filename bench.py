@@ -258,6 +258,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         compute_dtype="bfloat16" if bf16 else None,
         channels_first=getattr(args, "channels_first", False),
         pallas_conv=getattr(args, "pallas_conv", False),
+        fused_conv=getattr(args, "fused_conv", False),
         compact_resid=getattr(args, "compact_resid", False),
         remat=remat,
         **({"fuse_raycast": False} if getattr(args, "unfuse", False)
@@ -349,6 +350,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
             "fused_raycast": cfg.fuse_raycast,
             "channels_first": cfg.channels_first,
             "pallas_conv": cfg.pallas_conv,
+            "fused_conv": cfg.fused_conv,
             "compact_resid": cfg.compact_resid,
             "cached_renders": precomp is not None,
             "straggler_frac": cfg.straggler_frac,
@@ -483,6 +485,9 @@ def main():
                    help="one stacked march for input+target (pred separate)")
     p.add_argument("--compact_global", action="store_true",
                    help="cross-batch straggler compaction (bit-identical)")
+    p.add_argument("--fused_conv", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="fused conv+LeakyReLU+BN-stats Pallas block")
     args = p.parse_args()
 
     try:

@@ -133,12 +133,75 @@ class _ConvPallas(nn.Module):
         return y + bias.astype(y.dtype)
 
 
+class _ConvPallasFused(nn.Module):
+    """Fused 3x3x3 conv + bias + LeakyReLU(0.2) + BN batch statistics via
+    ops/pallas_conv.conv3x3_act_stats, with nn.Conv-identical parameters.
+    Returns (y_act, sum, sumsq); the stats feed _StatsBatchNorm so the
+    activation is read/written exactly once (the round-3 trace showed the
+    separate BN statistic reductions' tiny per-channel DMAs dominating the
+    geo-step op histogram, docs/DESIGN.md §5)."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas_conv import conv3x3_act_stats
+
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kernel_init(), (3, 3, 3, in_ch, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        cdt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        return conv3x3_act_stats(x.astype(cdt), kernel.astype(cdt), bias)
+
+
+class _StatsBatchNorm(nn.Module):
+    """BatchNorm that consumes externally computed batch statistics (the
+    fused conv kernel's sum/sumsq). Variable tree and semantics identical to
+    flax nn.BatchNorm (scale/bias params; batch_stats mean/var; biased
+    variance E[x^2]-E[x]^2; running = m*old + (1-m)*batch)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, s, ss, n, use_running_average: bool):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda *a: jnp.zeros(c, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda *a: jnp.ones(c, jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = s / n
+            var = jnp.maximum(ss / n - mean * mean, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * jax.lax.stop_gradient(mean)
+                ra_var.value = m * ra_var.value + (1 - m) * jax.lax.stop_gradient(var)
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        x, mean, var, sc, bi = (a.astype(dt) for a in (x, mean, var, scale, bias))
+        mul = jax.lax.rsqrt(var + self.epsilon) * sc
+        return (x - mean) * mul + bi
+
+
 class ConvBlock(nn.Module):
     """Conv3d -> optional LeakyReLU(0.2) -> optional BatchNorm (reference
     ordering inside every nn.Sequential of model.py). With
     ``channels_first`` the block computes in NCDHW (same parameters); with
     ``pallas_conv`` eligible convs (3x3x3, stride 1, dilation 1, NDHWC) use
-    the Pallas im2col kernel."""
+    the Pallas im2col kernel; ``fused_conv`` additionally fuses bias +
+    LeakyReLU + BN-statistics into that kernel (one pass over the
+    activation)."""
 
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
@@ -150,18 +213,34 @@ class ConvBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
     channels_first: bool = False
     pallas_conv: bool = False
+    fused_conv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         pad = [(self.padding, self.padding)] * 3
-        use_pallas = (
-            self.pallas_conv
-            and not self.channels_first
+        eligible = (
+            not self.channels_first
             and self.kernel == (3, 3, 3)
             and self.stride == 1
             and self.padding == 1
             and self.dilation == 1
         )
+        if self.fused_conv and eligible and self.act and self.bn:
+            y, s, ss = _ConvPallasFused(
+                self.features, dtype=self.dtype, name="Conv_0"
+            )(x)
+            # tag the activation AND the tiny stats so compact-resid
+            # checkpointing never re-runs the conv kernel in the backward
+            y = _compact_tag(y)
+            from jax.ad_checkpoint import checkpoint_name
+
+            s = checkpoint_name(s, COMPACT_RESID_NAME)
+            ss = checkpoint_name(ss, COMPACT_RESID_NAME)
+            n = y.shape[0] * y.shape[1] * y.shape[2] * y.shape[3]
+            return _StatsBatchNorm(
+                momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="BatchNorm_0"
+            )(y, s, ss, n, use_running_average=not train)
+        use_pallas = self.pallas_conv and eligible
         if use_pallas:
             x = _ConvPallas(self.features, dtype=self.dtype, name="Conv_0")(x)
         elif self.channels_first:
@@ -231,6 +310,11 @@ class GeneratorConfig:
     # route eligible 3x3x3 stride-1 convs through the Pallas im2col kernel
     # (ops/pallas_conv.py); parameters are identical to the nn.Conv path
     pallas_conv: bool = False
+    # fuse bias + LeakyReLU(0.2) + BN batch statistics into the Pallas conv
+    # kernel for eligible blocks (one pass over the activation; the separate
+    # BN statistic reductions disappear). Parameters/batch_stats trees are
+    # identical to the plain path (tests/test_model.py)
+    fused_conv: bool = False
     # rematerialize activations in the backward pass (jax.checkpoint per
     # conv block): trades ~30% more FLOPs for large activation-memory savings
     # — enables bigger batches on one chip
@@ -267,6 +351,8 @@ class Generator(nn.Module):
             Block = functools.partial(Block, channels_first=True)
         if cfg.pallas_conv:
             Block = functools.partial(Block, pallas_conv=True)
+        if cfg.fused_conv:
+            Block = functools.partial(Block, fused_conv=True)
         # layout helpers: preprocessing stays channel-last (cheap elementwise);
         # branches run in the configured layout; outputs return channel-last
         chax = 1 if cf else -1

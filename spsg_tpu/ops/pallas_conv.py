@@ -158,3 +158,123 @@ def _conv3x3_vjp_bwd(interpret, res, dy):
 
 
 conv3x3.defvjp(_conv3x3_vjp_fwd, _conv3x3_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused conv + bias + LeakyReLU(0.2) + BatchNorm-statistics kernel
+# ---------------------------------------------------------------------------
+#
+# The round-3 trace of the full train step shows the op histogram dominated
+# by thousands of tiny f32[C] BatchNorm-vector DMAs interleaved with the conv
+# stack (docs/DESIGN.md §5). This kernel computes, in ONE pass over the
+# input: the conv matmul (MXU), the bias add, the LeakyReLU, and the
+# per-channel batch statistics (sum, sum-of-squares) that training-mode
+# BatchNorm needs — so the activation is read/written exactly once and the
+# stats reduction costs no extra HBM traffic. The normalize itself stays
+# plain jnp (one elementwise op XLA fuses into the consumer).
+#
+# Matches the reference block Conv3d -> LeakyReLU(0.2) -> BatchNorm3d
+# (/root/reference/torch/model.py:183-195) with flax BatchNorm statistics
+# semantics (biased variance via E[x^2] - E[x]^2, like flax _compute_stats).
+
+
+def _fwd_act_stats_kernel(x_hbm, w_ref, b_ref, o_ref, s_ref, ss_ref, slab, sem,
+                          *, Y, X, C, out_dtype):
+    b = pl.program_id(0)
+    z = pl.program_id(1)
+    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z, 3)], slab, sem)
+    cp.start()
+    cp.wait()
+
+    @pl.when((b == 0) & (z == 0))
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+        ss_ref[:] = jnp.zeros_like(ss_ref)
+
+    patches = _patches_from_slab(slab[:], Y, X, C)
+    out = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
+    out = out + b_ref[0].astype(jnp.float32)
+    out = jnp.where(out > 0, out, 0.2 * out)  # LeakyReLU(0.2)
+    yq = out.astype(out_dtype)
+    o_ref[0, 0] = yq.reshape(Y, X, -1)
+    # statistics of the STORED values (what BN actually sees downstream)
+    yf = yq.astype(jnp.float32)
+    s_ref[:] += jnp.sum(yf, axis=0, keepdims=True)
+    ss_ref[:] += jnp.sum(yf * yf, axis=0, keepdims=True)
+
+
+def _conv3x3_act_stats_impl(x, w, b, interpret=False):
+    """x (B,Z,Y,X,Cin), w (3,3,3,Cin,Cout), b (Cout,) ->
+    (y_act (B,Z,Y,X,Cout), sum (Cout,), sumsq (Cout,)) — fp32 stats."""
+    B, Z, Y, X, C = x.shape
+    Cout = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    wm = w.reshape(27 * C, Cout).astype(x.dtype)
+    kern = functools.partial(_fwd_act_stats_kernel, Y=Y, X=X, C=C, out_dtype=x.dtype)
+    y, s, ss = pl.pallas_call(
+        kern,
+        grid=(B, Z),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((27 * C, Cout), lambda b, z: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, z: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, Y, X, Cout), lambda b, z: (b, z, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, z: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, z: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Z, Y, X, Cout), x.dtype),
+            jax.ShapeDtypeStruct((1, Cout), jnp.float32),
+            jax.ShapeDtypeStruct((1, Cout), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, Y + 2, X + 2, C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, wm, b.astype(x.dtype)[None, :])
+    return y, s[0], ss[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_act_stats(x, w, b, interpret=None):
+    """Fused 3x3x3 conv + bias + LeakyReLU(0.2) + BN batch statistics.
+
+    Returns (y_act, sum, sumsq) with fp32 per-channel stats of y_act over
+    all (B,Z,Y,X) positions. ``interpret=None`` auto-selects off-TPU."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    return _conv3x3_act_stats_impl(x, w, b, interpret)
+
+
+def _act_stats_vjp_fwd(x, w, b, interpret):
+    if interpret is None:
+        interpret = _auto_interpret()
+    y, s, ss = _conv3x3_act_stats_impl(x, w, b, interpret)
+    return (y, s, ss), (x, w, y)
+
+
+def _act_stats_vjp_bwd(interpret, res, cts):
+    if interpret is None:
+        interpret = _auto_interpret()
+    x, w, y = res
+    dy, ds, dss = cts
+    # cotangents through the stats: s = sum(y), ss = sum(y^2)
+    dy_total = (
+        dy.astype(jnp.float32)
+        + ds[None, None, None, None, :]
+        + 2.0 * y.astype(jnp.float32) * dss[None, None, None, None, :]
+    )
+    # through LeakyReLU: slope from the sign of y (slope 0.2 > 0 preserves it)
+    dconv = jnp.where(y > 0, dy_total, 0.2 * dy_total).astype(y.dtype)
+    db = jnp.sum(dconv.astype(jnp.float32), axis=(0, 1, 2, 3))
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    dx = _conv3x3_fwd_impl(dconv, w_flip.astype(dconv.dtype), interpret).astype(x.dtype)
+    dw = _conv3x3_dw_impl(x, dconv, interpret).astype(w.dtype)
+    return dx, dw, db.astype(jnp.float32)
+
+
+conv3x3_act_stats.defvjp(_act_stats_vjp_fwd, _act_stats_vjp_bwd)

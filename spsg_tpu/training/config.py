@@ -81,6 +81,9 @@ class TrainConfig:
     # route eligible 3x3x3 stride-1 generator convs through the Pallas
     # im2col kernel (ops/pallas_conv.py)
     pallas_conv: bool = False
+    # fused conv+bias+LeakyReLU+BN-statistics Pallas block for eligible
+    # generator convs (models/generator.py ConvBlock.fused_conv)
+    fused_conv: bool = False
     # save only lane-aligned COMPACT conv outputs as generator backward
     # residuals (jax.checkpoint policy over the tags in models/generator.py):
     # on TPU every conv activation is otherwise stored padded to the 128-lane

@@ -43,6 +43,7 @@ def make_generator(cfg: TrainConfig) -> Generator:
             dtype=cfg.compute_dtype,
             channels_first=cfg.channels_first,
             pallas_conv=cfg.pallas_conv,
+            fused_conv=cfg.fused_conv,
             remat=cfg.remat,
         )
     )

@@ -255,3 +255,65 @@ def test_alt_conv_paths_bf16_head_precision():
             assert b.dtype == jnp.float32
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=0.05, rtol=0.05)
+
+
+def test_fused_conv_generator_matches_default():
+    """fused_conv=True fuses bias+LeakyReLU+BN-statistics into the Pallas
+    conv kernel for eligible blocks. Parameter AND batch_stats trees must be
+    identical to the plain path; outputs (train and eval), the training-mode
+    batch_stats updates, and gradients must match to fp tolerance."""
+    cfg = GeneratorConfig(nf=4)
+    gen, variables = _init(cfg)
+    gen_f = Generator(GeneratorConfig(nf=4, fused_conv=True))
+    vars_f = gen_f.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 4)),
+        jnp.zeros((1, 16, 16, 16, 1)),
+        pred_color=True, pred_sdf=True, pred_semantic=True, train=False,
+    )
+    fa = jax.tree_util.tree_flatten_with_path(variables)
+    fb = jax.tree_util.tree_flatten_with_path(vars_f)
+    assert [p for p, _ in fa[0]] == [p for p, _ in fb[0]]
+    for (pa, la), (_, lb) in zip(fa[0], fb[0]):
+        assert la.shape == lb.shape, pa
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-3, 3, (2, 16, 16, 16, 4)).astype(np.float32))
+    m = jnp.asarray((rng.random((2, 16, 16, 16, 1)) > 0.5).astype(np.float32))
+    kw = dict(pred_color=True, pred_sdf=True, pred_semantic=True)
+
+    # eval mode (running stats)
+    out_a = gen.apply(variables, x, m, train=False, **kw)
+    out_f = gen_f.apply(variables, x, m, train=False, **kw)
+    for a, b in zip(out_a, out_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    # train mode: outputs AND the mutated batch_stats must match
+    out_a, upd_a = gen.apply(variables, x, m, train=True, mutable=["batch_stats"], **kw)
+    out_f, upd_f = gen_f.apply(variables, x, m, train=True, mutable=["batch_stats"], **kw)
+    for a, b in zip(out_a, out_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    for (pa, la), (_, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(upd_a)[0],
+        jax.tree_util.tree_flatten_with_path(upd_f)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-4, err_msg=str(pa))
+
+    # gradients through the fused custom_vjp vs the plain path
+    def loss(g_mod):
+        def f(p):
+            occ, sdf, col, sem = g_mod.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]}, x, m,
+                train=True, mutable=["batch_stats"], **kw,
+            )[0]
+            return jnp.mean(occ**2) + jnp.mean(sdf**2) + jnp.mean(col**2) + jnp.mean(sem**2)
+        return f
+
+    g_a = jax.grad(loss(gen))(variables["params"])
+    g_f = jax.grad(loss(gen_f))(variables["params"])
+    for (pa, la), (_, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(g_a)[0],
+        jax.tree_util.tree_flatten_with_path(g_f)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), atol=5e-4, rtol=5e-3, err_msg=str(pa)
+        )
