@@ -208,6 +208,7 @@ def bench_scene(args):
         truncation=3.0, chunk_dims=(128, 64, 64), stride=32,
         window_batch=args.window_batch,
         pred_color=True, pred_semantic=True,
+        scan_windows=getattr(args, "scan_windows", False),
     )
     chunked.run_chunked_inference(
         gen, variables, sample["input"], sample["mask"], None, None, None, **kwargs
@@ -226,7 +227,8 @@ def bench_scene(args):
         "unit": "voxels/s (2cm chunked whole-scene completion, stride 32)",
         "vs_baseline": None,
         "extra": {"scene_dims": list(out.sdf.shape), "seconds": round(dt, 3),
-                  "window_batch": args.window_batch, "bf16": bf16},
+                  "window_batch": args.window_batch, "bf16": bf16,
+                  "scan_windows": getattr(args, "scan_windows", False)},
     }
     global _RESULT_PRINTED
     _RESULT_PRINTED = True
@@ -472,6 +474,10 @@ def main():
                    help="cache the parameter-independent input/target renders "
                    "outside the step (bit-identical; models the training "
                    "loop's per-chunk render cache)")
+    p.add_argument("--scan_windows", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="scene mode: one jitted lax.scan over all window "
+                   "batches (single dispatch) instead of a host loop")
     p.add_argument("--window_batch", type=int, default=8,
                    help="windows per device batch in --mode scene")
     p.add_argument("--profile_dir", default="",

@@ -55,6 +55,9 @@ def build_parser():
     p.add_argument("--color_space", type=str, default="lab")
     p.add_argument("--stride", type=int, default=32)
     p.add_argument("--window_batch", type=int, default=8)
+    p.add_argument("--scan_windows", action="store_true",
+                   help="run all window batches in one jitted lax.scan "
+                   "(single device dispatch per scene)")
     p.set_defaults(pass_geo_feats=True)
     return p
 
@@ -157,6 +160,7 @@ def main(argv=None):
             chunk_dims=chunk_dims,
             stride=args.stride,
             window_batch=args.window_batch,
+            scan_windows=args.scan_windows,
             pred_color=args.weight_color_loss > 0,
             pred_semantic=args.weight_semantic_loss > 0,
         )

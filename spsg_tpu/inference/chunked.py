@@ -67,6 +67,7 @@ def run_chunked_inference(
     pred_semantic: bool = True,
     mesh=None,
     skip_empty_windows: bool = False,
+    scan_windows: bool = False,
 ) -> SceneOutputs:
     """Stitched scene completion + IoU accumulation."""
     # crop height (test_scene_as_chunks.py:120-132)
@@ -317,27 +318,76 @@ def run_chunked_inference(
         rep = NamedSharding(mesh, P())
         acc = {k: jax.device_put(v, rep) for k, v in acc.items()}
 
-    for bidx in range(n_batches):
-        start = bidx * window_batch
-        pos = np.zeros((window_batch, 2), np.int32)
-        real = np.zeros((window_batch,), bool)
-        for bi in range(min(window_batch, n_win - start)):
-            pos[bi] = positions[start + bi]
-            real[bi] = True
-        pos = jnp.asarray(pos)
-        real_j = jnp.asarray(real)
-        if put is not None:
-            pos = put(pos)
-            real_j = put(real_j)
-        cb, mb = extract_jit(scene_in_dev, scene_mask_dev, pos)
-        occ_l, sdf_p, color_p, sem_p = fwd(variables, cb, mb)
-        zero = jnp.zeros((), jnp.float32)
-        acc = update_jit(
-            acc, occ_l, sdf_p,
-            color_p if color_p is not None else zero,
-            sem_p if sem_p is not None else zero,
-            pos, real_j, tgt_flat, kn_flat, sm_flat,
+    if scan_windows:
+        # ONE device dispatch for the whole scene: a lax.scan over the window
+        # batches runs extract -> forward -> stitch per iteration with the
+        # accumulators as the carry. On a relay-attached TPU each host
+        # dispatch costs ~25-130 ms, so the loop path pays ~3 * n_batches
+        # dispatches of pure overhead that this removes. Results can differ
+        # from the loop path by a ulp on borderline threshold voxels (the
+        # forward fuses into the stitching program), hence opt-in.
+        all_pos = np.zeros((n_batches, window_batch, 2), np.int32)
+        all_real = np.zeros((n_batches, window_batch), bool)
+        for bidx in range(n_batches):
+            start = bidx * window_batch
+            for bi in range(min(window_batch, n_win - start)):
+                all_pos[bidx, bi] = positions[start + bi]
+                all_real[bidx, bi] = True
+
+        def run_all(variables, scene_in, scene_mask, acc, all_pos, all_real,
+                    tgt_flat, kn_flat, sm_flat):
+            def body(carry, pr):
+                pos, real = pr
+                cb, mb = extract(scene_in, scene_mask, pos)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    sh = NamedSharding(mesh, P("data"))
+                    cb = jax.lax.with_sharding_constraint(cb, sh)
+                    mb = jax.lax.with_sharding_constraint(mb, sh)
+                occ_l, sdf_p, color_p, sem_p = generator.apply(
+                    variables, cb, mb, pred_color=pred_color, pred_sdf=True,
+                    pred_semantic=pred_semantic, train=False,
+                )
+                zero = jnp.zeros((), jnp.float32)
+                carry = update(
+                    carry, occ_l, sdf_p,
+                    color_p if color_p is not None else zero,
+                    sem_p if sem_p is not None else zero,
+                    pos, real, tgt_flat, kn_flat, sm_flat,
+                )
+                return carry, None
+
+            acc, _ = jax.lax.scan(body, acc, (all_pos, all_real))
+            return acc
+
+        acc = jax.jit(run_all, donate_argnums=(3,))(
+            variables, scene_in_dev, scene_mask_dev, acc,
+            jnp.asarray(all_pos), jnp.asarray(all_real),
+            tgt_flat, kn_flat, sm_flat,
         )
+    else:
+        for bidx in range(n_batches):
+            start = bidx * window_batch
+            pos = np.zeros((window_batch, 2), np.int32)
+            real = np.zeros((window_batch,), bool)
+            for bi in range(min(window_batch, n_win - start)):
+                pos[bi] = positions[start + bi]
+                real[bi] = True
+            pos = jnp.asarray(pos)
+            real_j = jnp.asarray(real)
+            if put is not None:
+                pos = put(pos)
+                real_j = put(real_j)
+            cb, mb = extract_jit(scene_in_dev, scene_mask_dev, pos)
+            occ_l, sdf_p, color_p, sem_p = fwd(variables, cb, mb)
+            zero = jnp.zeros((), jnp.float32)
+            acc = update_jit(
+                acc, occ_l, sdf_p,
+                color_p if color_p is not None else zero,
+                sem_p if sem_p is not None else zero,
+                pos, real_j, tgt_flat, kn_flat, sm_flat,
+            )
 
     # normalize ON DEVICE (test_scene_as_chunks.py:270-280) and transfer the
     # compact results: the raw accumulators are ~20x the final payload

@@ -128,3 +128,37 @@ def test_chunked_inference_sharded_over_mesh():
     )
     assert out.counts.max() >= 1
     assert np.isfinite(out.sdf[out.counts > 0]).all()
+
+
+def test_scan_windows_matches_loop():
+    """scan_windows=True runs all window batches inside one jitted lax.scan
+    (single device dispatch); the stitched outputs and IoU accumulators must
+    match the host-loop path (identical math — only dispatch granularity
+    changes; borderline voxels may differ by a ulp, so occupancy-derived
+    fields compare away from the decision boundary)."""
+    cfg, gen, variables = _setup()
+    dims = (16, 32, 48)
+    sample = _scene_sample(dims)
+    kwargs = dict(
+        chunk_dims=CHUNK, stride=8, pad=2, max_height=CHUNK[0], window_batch=4,
+    )
+    out_a = chunked.run_chunked_inference(
+        gen, variables, sample["input"], sample["mask"], sample["target_sdf"],
+        sample["known"], sample["semantics"], **kwargs,
+    )
+    out_b = chunked.run_chunked_inference(
+        gen, variables, sample["input"], sample["mask"], sample["target_sdf"],
+        sample["known"], sample["semantics"], scan_windows=True, **kwargs,
+    )
+    same = out_a.counts == out_b.counts
+    assert same.mean() > 0.99  # ulp-boundary voxels only
+    got = (out_a.counts > 0) & (out_b.counts > 0) & same
+    np.testing.assert_allclose(out_a.sdf[got], out_b.sdf[got], atol=1e-5)
+    if out_a.colors is not None:
+        assert np.mean(
+            np.abs(out_a.colors[got].astype(int) - out_b.colors[got].astype(int)) <= 1
+        ) > 0.999
+    np.testing.assert_allclose(
+        out_a.geo_intersection, out_b.geo_intersection, rtol=0.02, atol=3
+    )
+    np.testing.assert_allclose(out_a.geo_union, out_b.geo_union, rtol=0.02, atol=3)

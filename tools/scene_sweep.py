@@ -55,9 +55,11 @@ def main():
         gs, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
         variables = {"params": gs.params, "batch_stats": gs.batch_stats}
         for wb in args.window_batches:
+          for scan in (False, True):
             kwargs = dict(
                 truncation=3.0, chunk_dims=(128, 64, 64), stride=args.stride,
                 window_batch=wb, pred_color=True, pred_semantic=True,
+                scan_windows=scan,
             )
             try:
                 chunked.run_chunked_inference(  # compile + warmup
@@ -72,12 +74,13 @@ def main():
                 np.asarray(out.sdf)  # host-transfer fence
                 dtsec = time.perf_counter() - t0
                 row = {
-                    "dtype": dt, "window_batch": wb,
+                    "dtype": dt, "window_batch": wb, "scan": scan,
                     "seconds": round(dtsec, 2),
                     "voxels_per_sec": round(int(np.prod(out.sdf.shape)) / dtsec, 1),
                 }
             except Exception as e:
-                row = {"dtype": dt, "window_batch": wb, "error": str(e)[:200]}
+                row = {"dtype": dt, "window_batch": wb, "scan": scan,
+                       "error": str(e)[:200]}
             rows.append(row)
             print(json.dumps(row), flush=True)
     ok = [r for r in rows if "voxels_per_sec" in r]
