@@ -305,26 +305,48 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         _phase("precomputing parameter-independent renders (once per chunk)")
         precomp = trainer.precompute_views(batch)
 
+    spc = max(1, getattr(args, "steps_per_call", 1))
+    if spc > 1:
+        # K steps per device dispatch (Trainer.step_many — the training
+        # loop's --steps_per_call path): amortizes the per-dispatch host
+        # overhead, bit-identical training math
+        stackK = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.stack([a] * spc), t
+        )
+        batches_k = stackK(batch)
+        precomps_k = stackK(precomp) if precomp is not None else None
+
+        def run_step(gen_state, disc_state, key):
+            g, d, ms = trainer.step_many(
+                gen_state, disc_state, batches_k,
+                jax.random.split(key, spc), flags, precomps_k,
+            )
+            return g, d, {"loss": ms["loss"][-1]}
+    else:
+
+        def run_step(gen_state, disc_state, key):
+            return trainer.step(
+                gen_state, disc_state, batch, key, flags, precomp=precomp
+            )
+
     _phase("compiling + warmup (first full-step compile ~4 min cold)")
     for i in range(args.warmup):
-        gen_state, disc_state, metrics = trainer.step(
-            gen_state, disc_state, batch, jax.random.PRNGKey(i), flags,
-            precomp=precomp,
+        gen_state, disc_state, metrics = run_step(
+            gen_state, disc_state, jax.random.PRNGKey(i)
         )
     # block_until_ready is NOT a reliable fence on the axon relay (CLAUDE.md);
     # a host transfer is. Each step consumes the previous step's state, so
     # transferring the final loss fences the whole chain.
     float(np.asarray(metrics["loss"]))
 
-    _phase(f"timing {args.steps} steps")
+    _phase(f"timing {args.steps} calls x {spc} steps")
     profile_dir = getattr(args, "profile_dir", "")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for i in range(args.steps):
-        gen_state, disc_state, metrics = trainer.step(
-            gen_state, disc_state, batch, jax.random.PRNGKey(100 + i), flags,
-            precomp=precomp,
+        gen_state, disc_state, metrics = run_step(
+            gen_state, disc_state, jax.random.PRNGKey(100 + i)
         )
     float(np.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
@@ -332,7 +354,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         jax.profiler.stop_trace()
         _phase(f"trace written to {profile_dir}")
 
-    step_time = dt / args.steps
+    step_time = dt / (args.steps * spc)
     chunks_per_sec = batch_size / step_time
     n_chips = jax.device_count()
     result = {
@@ -356,6 +378,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
             "compact_resid": cfg.compact_resid,
             "cached_renders": precomp is not None,
             "straggler_frac": cfg.straggler_frac,
+            "steps_per_call": spc,
             "mode": args.mode,
             "device": str(jax.devices()[0]),
             "loss": float(metrics["loss"]),
@@ -491,6 +514,8 @@ def main():
                    help="one stacked march for input+target (pred separate)")
     p.add_argument("--compact_global", action="store_true",
                    help="cross-batch straggler compaction (bit-identical)")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="train steps per device dispatch (Trainer.step_many)")
     p.add_argument("--fused_conv", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="fused conv+LeakyReLU+BN-stats Pallas block")

@@ -105,6 +105,42 @@ class Trainer:
         vgg_params = self.vgg[1] if self.vgg is not None else None
         return fn(gen_state, disc_state, batch, rng, vgg_params, precomp)
 
+    def step_many(self, gen_state, disc_state, batches, rngs, flags: StepFlags,
+                  precomps=None):
+        """Run K consecutive train steps inside ONE jitted lax.scan.
+
+        ``batches`` (and ``precomps``, if given) are pytrees with a leading
+        (K, ...) axis; ``rngs`` is (K, 2) PRNG keys. Returns the final
+        states and metrics stacked to (K,) per entry — same math as K
+        sequential :meth:`step` calls (equal to ulp tolerance; the scanned
+        body compiles with different fusion, tests/test_train_step.py).
+
+        Why: each host->device dispatch costs ~25-130 ms on a relay-attached
+        TPU (CLAUDE.md) — a meaningful fraction of the 0.57 s full step — and
+        sub-ms on directly-attached chips; batching K steps per dispatch
+        amortizes it. The curriculum ``flags`` are static for the window, so
+        the host loop flushes windows at curriculum boundaries."""
+        key = ("many", flags, precomps is not None)
+        fn = self._jitted.get(key)
+        if fn is None:
+
+            def many(gen_state, disc_state, batches, rngs, vgg_params, precomps):
+                def body(carry, xs):
+                    g, d = carry
+                    batch, rng, pre = xs
+                    g, d, m = self._step(flags, g, d, batch, rng, vgg_params, pre)
+                    return (g, d), m
+
+                (g, d), ms = jax.lax.scan(
+                    body, (gen_state, disc_state), (batches, rngs, precomps)
+                )
+                return g, d, ms
+
+            fn = jax.jit(many, donate_argnums=(0, 1) if flags.train else ())
+            self._jitted[key] = fn
+        vgg_params = self.vgg[1] if self.vgg is not None else None
+        return fn(gen_state, disc_state, batches, rngs, vgg_params, precomps)
+
     def precompute_views(self, batch):
         """Parameter-independent per-(chunk, frame) view precomputation.
 

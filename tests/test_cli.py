@@ -194,3 +194,35 @@ def test_datagen_frames_to_2d_training(tmp_path):
     rows = list(csv.DictReader(open(os.path.join(save, "log_val.csv"))))
     assert float(rows[-1]["train_loss(depth)"]) != -1.0
     assert float(rows[-1]["train_loss(disc)"]) != -1.0
+
+
+def test_train_cli_steps_per_call(tmp_path):
+    """--steps_per_call 2 (Trainer.step_many dispatch batching) trains the
+    same curriculum: per-epoch validation rows exist, losses are finite, and
+    checkpoints land — including a curriculum-boundary window flush
+    (num_iters_geo_only forces a flags change mid-epoch)."""
+    from spsg_tpu.cli import train as train_cli
+
+    save = str(tmp_path / "run_spc")
+    train_cli.main(
+        [
+            "--synthetic_chunks", "8",
+            "--save", save,
+            "--input_dim", "16",
+            "--nf_gen", "4",
+            "--batch_size", "2",
+            "--max_epoch", "2",
+            "--weight_disc_loss", "0",
+            "--weight_depth_loss", "0",
+            "--num_iters_geo_only", "3",  # flags flip mid-window
+            "--steps_per_call", "2",
+            "--no_vis",
+        ]
+    )
+    rows = open(os.path.join(save, "log_val.csv")).read().splitlines()
+    assert len(rows) >= 3  # header + one row per epoch
+    import numpy as np
+
+    vals = [float(x) for x in rows[-1].split(",")[2:] if x]
+    assert all(np.isfinite(v) or v == -1.0 for v in vals)
+    assert any(f.startswith("model-epoch") for f in os.listdir(save))

@@ -547,3 +547,63 @@ def test_fused_conv_step_with_compact_resid():
                 np.asarray(la), np.asarray(lb), rtol=5e-3, atol=2.5e-4,
                 err_msg=f"{other}:{pa}",
             )
+
+
+def test_step_many_matches_sequential_steps():
+    """Trainer.step_many (K steps in one jitted lax.scan, the loop's
+    --steps_per_call path) runs the same math as K sequential step() calls;
+    the scanned body compiles with different fusion, so equality is to ulp
+    tolerance — per-step metrics and final params, with and without
+    cached-render precomps."""
+    cfg = _tiny_cfg()
+    trainer = Trainer(cfg)
+    flags = StepFlags(
+        pred_sdf=True, pred_color=True, pred_semantic=True, use_2d=True, use_disc=True
+    )
+    K = 3
+    batches = [_batch(cfg, with_frames=True, seed=10 + i) for i in range(K)]
+    rngs = [jax.random.PRNGKey(50 + i) for i in range(K)]
+    precomps = [trainer.precompute_views(b) for b in batches]
+
+    for use_pre in (False, True):
+        g_a, d_a = init_states(cfg, jax.random.PRNGKey(0))
+        seq_metrics = []
+        for i in range(K):
+            g_a, d_a, m = trainer.step(
+                g_a, d_a, batches[i], rngs[i], flags,
+                precomp=precomps[i] if use_pre else None,
+            )
+            seq_metrics.append(jax.device_get(m))
+
+        g_b, d_b = init_states(cfg, jax.random.PRNGKey(0))
+        stack = lambda ts: jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *ts)
+        g_b, d_b, ms = trainer.step_many(
+            g_b, d_b, stack(batches), jnp.stack(rngs), flags,
+            stack(precomps) if use_pre else None,
+        )
+        ms = jax.device_get(ms)
+        for i in range(K):
+            for k in seq_metrics[i]:
+                np.testing.assert_allclose(
+                    seq_metrics[i][k], ms[k][i], rtol=1e-5, atol=1e-6,
+                    err_msg=f"pre={use_pre} step{i}:{k}",
+                )
+        # Adam amplifies ulp-level grad noise to ~lr-scale sign flips on
+        # near-zero gradients, so params compare at atol > 2*lr*K
+        for (pa, la), (_, lb) in zip(
+            jax.tree_util.tree_flatten_with_path(g_a.params)[0],
+            jax.tree_util.tree_flatten_with_path(g_b.params)[0],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=5e-3, atol=8e-4,
+                err_msg=f"pre={use_pre}:{pa}",
+            )
+        for (pa, la), (_, lb) in zip(
+            jax.tree_util.tree_flatten_with_path(d_a.params)[0],
+            jax.tree_util.tree_flatten_with_path(d_b.params)[0],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=5e-3, atol=3e-3,
+                err_msg=f"pre={use_pre}:disc:{pa}",
+            )
+        assert int(g_b.step) == K

@@ -123,12 +123,26 @@ def main():
             x = act(conv3x3(x, k, args.cpu))  # interpret on CPU
         return jnp.sum(x.astype(jnp.float32))
 
+    zero_b = jnp.zeros((C,), jnp.float32)
+
+    def stack_fused(x, kernels):
+        # the fused conv+bias+act+BN-stats kernel (models use it via
+        # --fused_conv); stats consumed so their computation isn't DCE'd
+        from spsg_tpu.ops.pallas_conv import conv3x3_act_stats
+
+        extra = jnp.zeros((), jnp.float32)
+        for k in kernels:
+            x, s, ss = conv3x3_act_stats(x, k, zero_b, args.cpu)
+            extra += jnp.sum(s) * 1e-9 + jnp.sum(ss) * 1e-12
+        return jnp.sum(x.astype(jnp.float32)) + extra
+
     strategies = {
         "conv": stack_conv,
         "patches": stack_patches,
         "zslab": stack_zslab,
         "taps": stack_taps,
         "pallas": stack_pallas,
+        "fused": stack_fused,
     }
     if args.only:
         keep = set(args.only.split(","))
