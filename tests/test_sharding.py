@@ -68,3 +68,39 @@ def test_data_parallel_matches_single_device():
     p4, l4 = run(jax.devices()[:4])
     assert np.isclose(l1, l4, rtol=1e-4)
     np.testing.assert_allclose(p1, p4, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_full_step_with_round4_knobs():
+    """The round-4 perf knobs must compile and run under a data-parallel
+    mesh: pair_raycast (stacked 2B march), compact_across_batch (cross-row
+    straggler gathers become collectives under GSPMD), and fused_conv (the
+    Pallas block, interpret mode on CPU devices). Finite loss + replicated
+    params."""
+    n = 4
+    mesh = make_mesh(jax.devices()[:n])
+    cfg = TrainConfig(
+        input_dim=DIMS, nf_gen=4, nf_disc=4, batch_size=n,
+        style_width=48, style_height=32, patch_size=16,
+        max_depth_fill_iters=4, min_num_valid_2d=10,
+        pair_raycast=True, compact_across_batch=True, fused_conv=True,
+    )
+    gen_state, disc_state = init_states(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg)
+    batch = synthetic.make_chunk_batch(
+        batch_size=n, dims=DIMS, seed=11, with_frames=True,
+        image_dims=(cfg.style_width, cfg.style_height),
+    )
+    batch.pop("name", None)
+    batch["weight_occ"] = np.ones(())
+    batch = shard_batch(batch, mesh)
+    gen_state = replicate_state(gen_state, mesh)
+    disc_state = replicate_state(disc_state, mesh)
+    flags = StepFlags(
+        pred_sdf=True, pred_color=True, pred_semantic=True, use_2d=True, use_disc=True
+    )
+    g, d, metrics = trainer.step(
+        gen_state, disc_state, batch, jax.random.PRNGKey(1), flags
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    for leaf in jax.tree_util.tree_leaves(g.params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
