@@ -24,6 +24,9 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--fused_conv", action="store_true",
+                   help="fused conv+act+BN-stats Pallas block")
+    p.add_argument("--pallas_conv", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -40,6 +43,8 @@ def main():
         batch_size=args.batch,
         compute_dtype="bfloat16" if args.bf16 else None,
         weight_disc_loss=0.0,
+        fused_conv=args.fused_conv,
+        pallas_conv=args.pallas_conv,
     )
     gen = make_generator(cfg)
     gs, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
