@@ -1,0 +1,63 @@
+#!/bin/bash
+# Round-4 TPU measurement queue — run the moment the relay answers.
+#
+# Discipline (CLAUDE.md): ONE TPU process at a time, never kill one
+# mid-run, keep the total process count low (the relay died after ~15 in
+# round 3). Ordered by value-per-process; each step logs to
+# docs/evidence/bench_r4/ and the script continues past failures.
+#
+#   bash tools/tpu_session_r4.sh [stop_after_step]
+set -u
+cd "$(dirname "$0")/.."
+EV=docs/evidence/bench_r4
+mkdir -p "$EV"
+STOP="${1:-99}"
+
+probe() {
+  python - <<'EOF'
+import socket, sys
+s = socket.socket(); s.settimeout(3)
+try:
+    s.connect(("127.0.0.1", 8082)); print("relay: OPEN")
+except Exception as e:
+    print("relay:", e); sys.exit(1)
+EOF
+}
+
+run() {  # run <step> <name> <timeout_s> <cmd...>
+  local step="$1" name="$2" to="$3"; shift 3
+  [ "$step" -gt "$STOP" ] && return 0
+  echo "=== [$step] $name: $*" | tee -a "$EV/session.log"
+  ( timeout "$to" "$@" ) >"$EV/$name.log" 2>&1
+  local rc=$?
+  echo "=== [$step] $name rc=$rc" | tee -a "$EV/session.log"
+  tail -2 "$EV/$name.log" | tee -a "$EV/session.log"
+  # a relay death mid-queue makes every later step hang; re-probe cheaply
+  probe >>"$EV/session.log" 2>&1 || { echo "relay DEAD — stopping queue" \
+    | tee -a "$EV/session.log"; exit 2; }
+}
+
+probe || exit 1
+
+# 1. the driver deliverable first: bench must emit its JSON cold
+run 1 bench_default 900 python bench.py
+# 2. conv formulations (the round-3 unmeasured probe) + the fused block
+run 2 conv_probe 1500 python tools/conv_probe.py
+# 3. full-step A/Bs, one flag each (vs the step-1 baseline)
+run 3 bench_fused_conv 900 python bench.py --fused_conv
+run 4 bench_pallas_conv 900 python bench.py --pallas_conv
+run 5 bench_pair 900 python bench.py --pair
+run 6 bench_compact_global 900 python bench.py --compact_global
+run 7 bench_pair_global 900 python bench.py --pair --compact_global
+run 8 bench_spc4 900 python bench.py --steps_per_call 4 --steps 3
+# 9. batch non-scaling triage: B=8 with the global compaction + profile
+run 9 bench_b8_global 1200 python bench.py --batch_size 8 --compact_resid --compact_global
+run 10 bench_b8_profile 1200 python bench.py --batch_size 8 --compact_resid \
+    --profile_dir /tmp/b8trace --steps 3
+# 11. whole-scene: loop vs scan dispatch + window sweep
+run 11 bench_scene 900 python bench.py --mode scene
+run 12 bench_scene_scan 900 python bench.py --mode scene --scan_windows
+run 13 scene_sweep 3600 python tools/scene_sweep.py --window_batches 8 16 32
+# 14. isolated generator timing with the fused block
+run 14 gen_timing_fused 900 python tools/gen_timing.py --fused_conv
+echo "queue complete" | tee -a "$EV/session.log"
