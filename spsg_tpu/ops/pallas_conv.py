@@ -39,30 +39,56 @@ def _patches_from_slab(slab, Y, X, C):
     return jnp.concatenate(cols, axis=-1)
 
 
-def _fwd_kernel(x_hbm, w_ref, o_ref, slab, sem, *, Y, X, C, out_dtype):
+_VMEM_BUDGET = 10 * 1024 * 1024  # per-program footprint cap (tests override)
+
+
+def _pick_ystrip(Y, X, C, Cout, itemsize, budget=None):
+    """Largest divisor of Y whose per-program VMEM footprint (slab + patch
+    matrix + output strip + weights) fits the budget. At real shapes some
+    generator layers reach C_in=80 at full 64x64 resolution — an unstripped
+    (4096, 27*80) patch matrix alone would overflow the ~16 MB VMEM."""
+    if budget is None:
+        budget = _VMEM_BUDGET
+    for ys in sorted({d for d in range(1, Y + 1) if Y % d == 0}, reverse=True):
+        slab = 3 * (ys + 2) * (X + 2) * C * itemsize
+        patches = ys * X * 27 * C * itemsize
+        out = ys * X * Cout * max(itemsize, 4)
+        w = 27 * C * Cout * itemsize
+        if slab + patches + out + w <= budget:
+            return ys
+    return 1
+
+
+def _fwd_kernel(x_hbm, w_ref, o_ref, slab, sem, *, YS, X, C, out_dtype):
     b = pl.program_id(0)
     z = pl.program_id(1)
-    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z, 3)], slab, sem)
+    sy = pl.program_id(2)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(z, 3), pl.ds(sy * YS, YS + 2)], slab, sem
+    )
     cp.start()
     cp.wait()
-    patches = _patches_from_slab(slab[:], Y, X, C)
+    patches = _patches_from_slab(slab[:], YS, X, C)
     out = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.reshape(Y, X, -1).astype(out_dtype)
+    o_ref[0, 0] = out.reshape(YS, X, -1).astype(out_dtype)
 
 
-def _dw_kernel(x_hbm, dy_ref, ow_ref, slab, sem, *, Y, X, C):
+def _dw_kernel(x_hbm, dy_ref, ow_ref, slab, sem, *, YS, X, C):
     b = pl.program_id(0)
     z = pl.program_id(1)
-    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z, 3)], slab, sem)
+    sy = pl.program_id(2)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(z, 3), pl.ds(sy * YS, YS + 2)], slab, sem
+    )
     cp.start()
     cp.wait()
 
-    @pl.when((b == 0) & (z == 0))
+    @pl.when((b == 0) & (z == 0) & (sy == 0))
     def _():
         ow_ref[:] = jnp.zeros_like(ow_ref)
 
-    patches = _patches_from_slab(slab[:], Y, X, C)
-    dy = dy_ref[0, 0].reshape(Y * X, -1)
+    patches = _patches_from_slab(slab[:], YS, X, C)
+    dy = dy_ref[0, 0].reshape(YS * X, -1)
     ow_ref[:] += jax.lax.dot_general(
         patches, dy,
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -78,20 +104,23 @@ def _conv3x3_fwd_impl(x, w, interpret=False):
     # weights as the (27*Cin, Cout) patch-matmul matrix (tap-major like
     # _patches_from_slab)
     wm = w.reshape(27 * C, Cout).astype(x.dtype)
-    kern = functools.partial(_fwd_kernel, Y=Y, X=X, C=C, out_dtype=x.dtype)
+    ys = _pick_ystrip(Y, X, C, Cout, x.dtype.itemsize)
+    kern = functools.partial(_fwd_kernel, YS=ys, X=X, C=C, out_dtype=x.dtype)
     return pl.pallas_call(
         kern,
-        grid=(B, Z),
+        grid=(B, Z, Y // ys),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((27 * C, Cout), lambda b, z: (0, 0),
+            pl.BlockSpec((27 * C, Cout), lambda b, z, sy: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, Y, X, Cout), lambda b, z: (b, z, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 1, ys, X, Cout), lambda b, z, sy: (b, z, sy, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
         out_shape=jax.ShapeDtypeStruct((B, Z, Y, X, Cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, Y + 2, X + 2, C), x.dtype),
+            pltpu.VMEM((3, ys + 2, X + 2, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -103,20 +132,21 @@ def _conv3x3_dw_impl(x, dy, interpret=False):
     B, Z, Y, X, C = x.shape
     Cout = dy.shape[-1]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    kern = functools.partial(_dw_kernel, Y=Y, X=X, C=C)
+    ys = _pick_ystrip(Y, X, C, Cout, x.dtype.itemsize)
+    kern = functools.partial(_dw_kernel, YS=ys, X=X, C=C)
     out = pl.pallas_call(
         kern,
-        grid=(B, Z),
+        grid=(B, Z, Y // ys),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, Y, X, Cout), lambda b, z: (b, z, 0, 0, 0),
+            pl.BlockSpec((1, 1, ys, X, Cout), lambda b, z, sy: (b, z, sy, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((27 * C, Cout), lambda b, z: (0, 0),
+        out_specs=pl.BlockSpec((27 * C, Cout), lambda b, z, sy: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((27 * C, Cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, Y + 2, X + 2, C), x.dtype),
+            pltpu.VMEM((3, ys + 2, X + 2, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -179,24 +209,27 @@ conv3x3.defvjp(_conv3x3_vjp_fwd, _conv3x3_vjp_bwd)
 
 
 def _fwd_act_stats_kernel(x_hbm, w_ref, b_ref, o_ref, s_ref, ss_ref, slab, sem,
-                          *, Y, X, C, out_dtype):
+                          *, YS, X, C, out_dtype):
     b = pl.program_id(0)
     z = pl.program_id(1)
-    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z, 3)], slab, sem)
+    sy = pl.program_id(2)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(z, 3), pl.ds(sy * YS, YS + 2)], slab, sem
+    )
     cp.start()
     cp.wait()
 
-    @pl.when((b == 0) & (z == 0))
+    @pl.when((b == 0) & (z == 0) & (sy == 0))
     def _():
         s_ref[:] = jnp.zeros_like(s_ref)
         ss_ref[:] = jnp.zeros_like(ss_ref)
 
-    patches = _patches_from_slab(slab[:], Y, X, C)
+    patches = _patches_from_slab(slab[:], YS, X, C)
     out = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
     out = out + b_ref[0].astype(jnp.float32)
     out = jnp.where(out > 0, out, 0.2 * out)  # LeakyReLU(0.2)
     yq = out.astype(out_dtype)
-    o_ref[0, 0] = yq.reshape(Y, X, -1)
+    o_ref[0, 0] = yq.reshape(YS, X, -1)
     # statistics of the STORED values (what BN actually sees downstream)
     yf = yq.astype(jnp.float32)
     s_ref[:] += jnp.sum(yf, axis=0, keepdims=True)
@@ -210,20 +243,21 @@ def _conv3x3_act_stats_impl(x, w, b, interpret=False):
     Cout = w.shape[-1]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     wm = w.reshape(27 * C, Cout).astype(x.dtype)
-    kern = functools.partial(_fwd_act_stats_kernel, Y=Y, X=X, C=C, out_dtype=x.dtype)
+    ys = _pick_ystrip(Y, X, C, Cout, x.dtype.itemsize)
+    kern = functools.partial(_fwd_act_stats_kernel, YS=ys, X=X, C=C, out_dtype=x.dtype)
     y, s, ss = pl.pallas_call(
         kern,
-        grid=(B, Z),
+        grid=(B, Z, Y // ys),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((27 * C, Cout), lambda b, z: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda b, z: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((27 * C, Cout), lambda b, z, sy: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, z, sy: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, Y, X, Cout), lambda b, z: (b, z, 0, 0, 0),
+            pl.BlockSpec((1, 1, ys, X, Cout), lambda b, z, sy: (b, z, sy, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda b, z: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda b, z: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, z, sy: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, z, sy: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, Z, Y, X, Cout), x.dtype),
@@ -231,7 +265,7 @@ def _conv3x3_act_stats_impl(x, w, b, interpret=False):
             jax.ShapeDtypeStruct((1, Cout), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, Y + 2, X + 2, C), x.dtype),
+            pltpu.VMEM((3, ys + 2, X + 2, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
