@@ -60,4 +60,13 @@ run 12 bench_scene_scan 900 python bench.py --mode scene --scan_windows
 run 13 scene_sweep 3600 python tools/scene_sweep.py --window_batches 8 16 32
 # 14. isolated generator timing with the fused block
 run 14 gen_timing_fused 900 python tools/gen_timing.py --fused_conv
+# 15. production-operating-point curriculum run (VERDICT r3 item 6): geo ->
+#     GAN phases at the flagship dims with the r3/r4 features on; ~1-2k
+#     steps; log.csv + occ-IoU land in the save dir (committed as evidence)
+run 15 curriculum 5400 python -m spsg_tpu.cli.train \
+    --synthetic_chunks 64 --save "$EV/curriculum_run" \
+    --batch_size 2 --max_epoch 60 --num_iters_geo_only 400 \
+    --num_iters_before_content 999999 \
+    --compute_dtype bfloat16 --cache_renders 64 --compact_resid \
+    --skip_batch_on_bad_depth --no_vis
 echo "queue complete" | tee -a "$EV/session.log"
