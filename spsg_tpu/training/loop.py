@@ -356,6 +356,11 @@ def run_training(
                         batch, batch_names, batch_frame_ids
                     )
                 rng, krng = jax.random.split(rng)
+                if window and (precomp is None) != (window[0][2] is None):
+                    # a cache-availability change mid-window would break the
+                    # scan's pytree structure — flush first
+                    for row in _flush_window():
+                        _post_step(row, epoch)
             with timer.phase("step"):
                 window.append((batch, krng, precomp))
                 wflags = flags
