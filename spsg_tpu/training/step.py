@@ -93,13 +93,19 @@ class Trainer:
     # -- public API ---------------------------------------------------------
 
     def step(self, gen_state, disc_state, batch, rng, flags: StepFlags,
-             precomp=None):
-        key = (flags, precomp is not None)
+             precomp=None, donate: bool = True):
+        """One train/val step. ``donate=False`` disables input-state buffer
+        donation: XLA:CPU deadlocks in a cross-module all-reduce rendezvous
+        when donation aliases large sharded state buffers (reproduced at the
+        flagship shapes on an 8/4-device virtual CPU mesh — one partition
+        stalls at a different op_id; tiny shapes unaffected). Real-shape CPU
+        dryruns pass donate=False; the TPU path keeps donation."""
+        key = (flags, precomp is not None, donate)
         fn = self._jitted.get(key)
         if fn is None:
             fn = jax.jit(
                 functools.partial(self._step, flags),
-                donate_argnums=(0, 1) if flags.train else (),
+                donate_argnums=(0, 1) if (flags.train and donate) else (),
             )
             self._jitted[key] = fn
         vgg_params = self.vgg[1] if self.vgg is not None else None
