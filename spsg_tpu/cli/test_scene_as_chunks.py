@@ -58,6 +58,10 @@ def build_parser():
     p.add_argument("--scan_windows", action="store_true",
                    help="run all window batches in one jitted lax.scan "
                    "(single device dispatch per scene)")
+    p.add_argument("--compute_dtype", type=str, default="",
+                   help="'bfloat16' runs the generator convs in bf16 "
+                   "(MXU-friendly; bf16-vs-f32 IoU parity verified in "
+                   "training, docs/DESIGN.md)")
     p.set_defaults(pass_geo_feats=True)
     return p
 
@@ -83,6 +87,7 @@ def main(argv=None):
         weight_color_loss=args.weight_color_loss,
         weight_semantic_loss=args.weight_semantic_loss,
         weight_disc_loss=0.0,
+        compute_dtype=args.compute_dtype or None,
     )
     generator = make_generator(cfg)
     gen_state, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
