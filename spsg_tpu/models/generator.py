@@ -18,6 +18,14 @@ Parity notes: conv->LeakyReLU(0.2)->BatchNorm ordering, BatchNorm
 momentum/eps = torch defaults (0.1/1e-5 -> flax momentum 0.9), torch
 kaiming-uniform(a=sqrt(5)) init, per-layer kernel sizes kz/dilations as built
 at model.py:183-191 for a z-extent > 1.
+
+The reference's ``Conv3`` helper sets ``BatchNorm3d(momentum=0.8)``
+(model.py:116) but the live Generator never instantiates Conv3 — every
+actual block is a plain nn.Sequential with default-momentum
+``nn.BatchNorm3d`` (model.py:194-325), so flax momentum 0.9 is the correct
+parity value (audited round 4). torch additionally updates running_var with
+the UNBIASED batch variance where flax uses biased — a factor N/(N-1) with
+N ~ 1e6 voxels at the flagship shapes, i.e. negligible by design.
 """
 
 from __future__ import annotations
