@@ -104,3 +104,31 @@ def test_sharded_full_step_with_round4_knobs():
     assert np.isfinite(float(metrics["loss"]))
     for leaf in jax.tree_util.tree_leaves(g.params):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_sharded_step_many():
+    """step_many (K steps per dispatch) under a data-parallel mesh: the
+    scanned GSPMD program must execute and keep params replicated/finite."""
+    n = 4
+    mesh = make_mesh(jax.devices()[:n])
+    cfg = TrainConfig(
+        input_dim=DIMS, nf_gen=4, batch_size=n,
+        weight_disc_loss=0.0, weight_depth_loss=0.0,
+    )
+    gen_state, _ = init_states(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg)
+    K = 2
+    batches = []
+    for i in range(K):
+        b = synthetic.make_chunk_batch(batch_size=n, dims=DIMS, seed=20 + i)
+        b.pop("name", None)
+        b["weight_occ"] = np.ones(())
+        batches.append(shard_batch(b, mesh))
+    stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *batches)
+    rngs = jnp.stack([jax.random.PRNGKey(70 + i) for i in range(K)])
+    gen_state = replicate_state(gen_state, mesh)
+    flags = StepFlags(pred_sdf=True)
+    g, _, ms = trainer.step_many(gen_state, None, stacked, rngs, flags)
+    assert ms["loss"].shape == (K,)
+    assert np.isfinite(np.asarray(ms["loss"])).all()
+    assert int(g.step) == K
