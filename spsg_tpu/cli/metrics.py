@@ -20,13 +20,16 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument(
-        "--metric", choices=["chamfer", "ssim", "feature_l1", "fid"], required=True
+        "--metric", choices=["chamfer", "iou", "ssim", "feature_l1", "fid"],
+        required=True
     )
     p.add_argument("--pred_dir", required=True)
     p.add_argument("--target_dir", required=True)
     p.add_argument("--pred_suffix", default="_pred-mesh.ply")
     p.add_argument("--target_suffix", default="_target-mesh.ply")
     p.add_argument("--num_samples", type=int, default=30000)
+    p.add_argument("--voxel_size", type=float, default=0.02,
+                   help="voxel size for --metric iou (reference metrics.py:35)")
     p.add_argument("--output", default="", help="optional txt file for results")
     p.add_argument(
         "--inception_v3_path", default="",
@@ -84,6 +87,15 @@ def main(argv=None):
             if len(pf) == 0 or len(tf) == 0:
                 continue
             val = M.chamfer_between_meshes(pv, pf, tv, tf, args.num_samples)
+        elif args.metric == "iou":
+            # voxelized surface IoU + Recall — the reference's own unfinished
+            # metric (metrics.py:64 TODO), completed here
+            pv, _, pf = mesh.load_ply(pred_path)
+            tv, _, tf = mesh.load_ply(tgt_path)
+            if len(pf) == 0 or len(tf) == 0:
+                continue
+            val, recall = M.mesh_iou_recall(pv, pf, tv, tf, args.voxel_size)
+            print(f"{name}: recall {recall:.6f}")
         else:
             from PIL import Image
 

@@ -111,6 +111,77 @@ def feature_l1(img1: np.ndarray, img2: np.ndarray) -> float:
     return float(jnp.mean(jnp.abs(fa - fb)))
 
 
+def voxelize_mesh(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    voxel_size: float,
+    origin: Optional[np.ndarray] = None,
+    dims: Optional[Tuple[int, int, int]] = None,
+    samples_per_voxel_area: float = 4.0,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Surface-voxelize a triangle mesh: mark every voxel the surface passes
+    through (dense area-proportional sampling at ``samples_per_voxel_area``
+    points per voxel_size^2 of surface, plus all vertices — conservative
+    enough for metric purposes). Returns (occ (Z,Y,X) bool, origin xyz).
+
+    Completes the reference's own unfinished metric ("TODO voxelize mesh
+    (with interior?) -> for IoU and Recall", metrics.py:64): the sampled
+    voxelization matches how the reference measures meshes elsewhere (30k
+    surface samples for Chamfer, metrics.py:69-75)."""
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int64)
+    if origin is None:
+        origin = np.floor(verts.min(0) / voxel_size) * voxel_size - voxel_size
+    origin = np.asarray(origin, np.float32)
+    if dims is None:
+        hi = verts.max(0)
+        n = np.ceil((hi - origin) / voxel_size).astype(np.int64) + 2
+        dims = (int(n[2]), int(n[1]), int(n[0]))  # zyx
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    total = float(areas.sum())
+    n_samples = int(max(1, samples_per_voxel_area * total / (voxel_size**2)))
+    n_samples = min(n_samples, 20_000_000)  # cap host memory
+    from ..ops.mesh import sample_point_cloud
+
+    pts = sample_point_cloud(verts, faces, n_samples, seed)
+    pts = np.concatenate([pts, verts], axis=0)
+    ijk = np.floor((pts - origin) / voxel_size).astype(np.int64)  # xyz order
+    Z, Y, X = dims
+    ok = (
+        (ijk[:, 0] >= 0) & (ijk[:, 0] < X)
+        & (ijk[:, 1] >= 0) & (ijk[:, 1] < Y)
+        & (ijk[:, 2] >= 0) & (ijk[:, 2] < Z)
+    )
+    ijk = ijk[ok]
+    occ = np.zeros(dims, bool)
+    occ[ijk[:, 2], ijk[:, 1], ijk[:, 0]] = True
+    return occ, origin
+
+
+def mesh_iou_recall(
+    pred_verts, pred_faces, tgt_verts, tgt_faces, voxel_size: float = 0.02,
+    samples_per_voxel_area: float = 4.0,
+) -> Tuple[float, float]:
+    """Voxelized surface IoU and Recall (|pred ∩ tgt| / |tgt|) between two
+    meshes on a shared grid (reference metrics.py:64 TODO, completed)."""
+    pv = np.asarray(pred_verts, np.float32)
+    tv = np.asarray(tgt_verts, np.float32)
+    allv = np.concatenate([pv, tv], axis=0) if len(pv) and len(tv) else (pv if len(pv) else tv)
+    origin = np.floor(allv.min(0) / voxel_size) * voxel_size - voxel_size
+    hi = allv.max(0)
+    n = np.ceil((hi - origin) / voxel_size).astype(np.int64) + 2
+    dims = (int(n[2]), int(n[1]), int(n[0]))
+    po, _ = voxelize_mesh(pv, pred_faces, voxel_size, origin, dims, samples_per_voxel_area)
+    to, _ = voxelize_mesh(tv, tgt_faces, voxel_size, origin, dims, samples_per_voxel_area)
+    inter = int(np.sum(po & to))
+    union = int(np.sum(po | to))
+    iou = inter / union if union else float("nan")
+    recall = inter / int(np.sum(to)) if to.any() else float("nan")
+    return iou, recall
+
+
 def fid(features_a: np.ndarray, features_b: np.ndarray, eps: float = 1e-6) -> float:
     """Frechet distance between two Gaussian fits of feature sets
     (Heusel et al. 2017). The reference only points at the external TTUR

@@ -68,3 +68,31 @@ def test_fid_cli(tmp_path):
     ])
     val = float(open(out).read().split()[1])
     assert np.isfinite(val) and val > 0
+
+
+def test_mesh_voxelize_iou_recall():
+    """voxelize_mesh / mesh_iou_recall (the reference's metrics.py:64 TODO,
+    completed): identical meshes give IoU == Recall == 1; disjoint meshes
+    give 0; a half-overlapping mesh lands in between."""
+    # unit-square "floor" mesh at z=0.5, 1m x 1m, two triangles
+    def quad(x0, x1):
+        v = np.array([
+            [x0, 0.0, 0.5], [x1, 0.0, 0.5], [x1, 1.0, 0.5], [x0, 1.0, 0.5],
+        ], np.float32)
+        f = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+        return v, f
+
+    v, f = quad(0.0, 1.0)
+    occ, origin = M.voxelize_mesh(v, f, 0.05)
+    # a 1 m^2 plane at 5 cm voxels crosses ~20x20 voxels (plus edge overlap)
+    assert 380 <= occ.sum() <= 1000
+    iou, recall = M.mesh_iou_recall(v, f, v, f, 0.05)
+    assert iou == pytest.approx(1.0) and recall == pytest.approx(1.0)
+
+    v2, f2 = quad(2.0, 3.0)  # disjoint
+    iou, recall = M.mesh_iou_recall(v, f, v2, f2, 0.05)
+    assert iou == 0.0 and recall == 0.0
+
+    v3, f3 = quad(0.5, 1.5)  # half overlap
+    iou, recall = M.mesh_iou_recall(v, f, v3, f3, 0.05)
+    assert 0.2 < iou < 0.5 and 0.4 < recall < 0.65
