@@ -39,6 +39,8 @@ def build_parser():
     p.add_argument("--no_pass_geo_feats", dest="pass_geo_feats", action="store_false")
     p.add_argument("--input_mask", type=int, default=1)
     p.add_argument("--max_input_height", type=int, default=128)
+    p.add_argument("--compute_dtype", type=str, default="",
+                   help="'bfloat16' runs the generator convs in bf16")
     p.add_argument("--num_to_vis", type=int, default=10)
     p.add_argument("--max_to_process", type=int, default=150)
     p.add_argument("--vis_only", action="store_true",
@@ -142,6 +144,7 @@ def main(argv=None):
         input_mask=bool(args.input_mask),
         color_space=args.color_space,
         weight_disc_loss=0.0,
+        compute_dtype=args.compute_dtype or None,
     )
     generator = make_generator(cfg)
     gen_state, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
