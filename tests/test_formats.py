@@ -206,3 +206,24 @@ def test_golden_scene_sidecar_bytes(tmp_path):
     assert kvs == np.float32(vs)
     np.testing.assert_array_equal(known, np.arange(n, dtype=np.uint8).reshape(2, 2, 3))
     np.testing.assert_array_equal(kw2g, np.zeros((4, 4), np.float32))
+
+
+def test_reference_filelists_parse():
+    """The shipped reference filelists work verbatim (data_util.py:26-38
+    semantics: names without '.sdf' get '__0__.sdf' appended; a 1-file list
+    flips the overfit flag)."""
+    import os
+
+    import pytest
+
+    from spsg_tpu.data.pipeline import get_train_files
+
+    fl = "/root/reference/filelists"
+    if not os.path.isdir(fl):
+        pytest.skip("reference filelists not present")
+    train, _, overfit = get_train_files("/data", os.path.join(fl, "train.txt"))
+    assert train[0].endswith("1LXtFkjw3qL_room0__inc__0.sdf") and not overfit
+    scenes, _, _ = get_train_files("/data", os.path.join(fl, "mp-rooms_val-scenes.txt"))
+    assert scenes[0].endswith("__0__.sdf")
+    mp, _, _ = get_train_files("/data", os.path.join(fl, "mp_train.txt"), max_num=5)
+    assert len(mp) == 5 and mp[0].endswith(".sdf")
