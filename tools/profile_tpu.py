@@ -187,9 +187,13 @@ def main():
         f = jax.jit(lambda s: rcm.find_surface_crossings(s, valid, view, intr, rc0))
         timed("march skip (default)", f, fresh_tgt)
         for frac in (0.03, 0.0625, 0.125, 0.25):
-            rcc = dataclasses.replace(rc0, straggler_frac=frac)
-            f = jax.jit(lambda s, r=rcc: rcm.find_surface_crossings(s, valid, view, intr, r))
-            timed(f"march skip+compact frac={frac}", f, fresh_tgt)
+            for global_c in (False, True):
+                rcc = dataclasses.replace(
+                    rc0, straggler_frac=frac, compact_across_batch=global_c
+                )
+                f = jax.jit(lambda s, r=rcc: rcm.find_surface_crossings(s, valid, view, intr, r))
+                tag = "global" if global_c else "row"
+                timed(f"march skip+compact frac={frac} ({tag})", f, fresh_tgt)
         return
 
     if args.march:
