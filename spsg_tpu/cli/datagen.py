@@ -115,16 +115,27 @@ def cmd_semantics(args):
             labels = semantics.labels_from_category_mapping(raw, args.mapping, args.mapping_column)
         else:
             labels = raw
-    n = 0
-    for sdf_file in sorted(glob.glob(args.sdf_glob)):
+    def extend_one(sdf_file):
         if args.scene_semantics:
             out = os.path.splitext(sdf_file)[0] + ".semantics"
             semantics.write_scene_semantics(sdf_file, out, pts, labels)
         else:
             out = sdf_file.replace("__cmp__", "__sem__")
             semantics.extend_sdf_file(sdf_file, out, pts, labels)
-        n += 1
-    print(f"extended {n} files")
+
+    files = sorted(glob.glob(args.sdf_glob))
+    if args.workers > 1:
+        # host-parallel splatting (reference extend_sdfs.py:270 uses a
+        # 4-worker ThreadPoolExecutor; numpy splatting releases the GIL
+        # enough for threads to help on multi-core hosts)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.workers) as ex:
+            list(ex.map(extend_one, files))
+    else:
+        for sdf_file in files:
+            extend_one(sdf_file)
+    print(f"extended {len(files)} files")
 
 
 def cmd_filelist(args):
@@ -203,6 +214,9 @@ def main(argv=None):
     pm.add_argument("--mapping", default="", help="category_mapping.tsv (raw ids -> eigen13)")
     pm.add_argument("--mapping_column", default="eigen13id")
     pm.add_argument("--samples_per_face", type=int, default=4)
+    pm.add_argument("--workers", type=int, default=4,
+                    help="parallel splatting workers (reference "
+                    "extend_sdfs.py:270 uses 4)")
     pm.add_argument("--scene_semantics", action="store_true",
                     help="write standalone .semantics (2cm scenes) instead of __sem__ chunks")
     pm.set_defaults(fn=cmd_semantics)
