@@ -687,29 +687,41 @@ def _raycast_attrs_fwd(sdf_flat, color_flat, normal_flat, semantic_flat, hit, hi
 
 def _raycast_attrs_bwd(cfg, residuals, g):
     """Scatter pixel grads to hit voxels, averaged per voxel (reference
-    backward kernel raycast_rgbd_cuda_kernel.cu:365-423)."""
+    backward kernel raycast_rgbd_cuda_kernel.cu:365-423).
+
+    All four gradient images plus the pixel counts scatter in ONE pass: TPU
+    scatter-adds are per-row latency-bound (like gathers — docs/DESIGN.md
+    §2), so a single 22-channel row update per pixel costs about what any
+    one of the five separate scatters did. fp32 accumulation regardless of
+    the compute dtype."""
     hit, hit_idx, n = residuals
     g_color, g_depth, g_normal, g_semantic = g
     B = hit.shape[0]
     P = hit.shape[1]
     idx = jnp.where(hit, hit_idx, n)  # invalid pixels scatter to a dump slot
 
-    ones = hit.astype(jnp.float32)
-    counts = jax.vmap(lambda i, o: jnp.zeros((n + 1,), jnp.float32).at[i].add(o))(idx, ones)
-    counts = jnp.maximum(counts[:, :n], 1.0)
-
-    def scatter(gimg, nc):
-        gflat = gimg.reshape(B, P, nc)
-        gflat = jnp.where(hit[..., None] & jnp.isfinite(gflat), gflat, 0.0)
-        acc = jax.vmap(
-            lambda i, v: jnp.zeros((n + 1, nc), v.dtype).at[i].add(v)
-        )(idx, gflat)
-        return acc[:, :n] / counts[..., None]
-
-    d_color = scatter(g_color, 3)
-    d_semantic = scatter(g_semantic, NUM_CLASSES)
-    d_normal = scatter(g_normal, 3)
-    d_sdf = scatter(g_depth[..., None], 1)[..., 0]
+    parts = [
+        g_color.reshape(B, P, 3),
+        g_normal.reshape(B, P, 3),
+        g_semantic.reshape(B, P, NUM_CLASSES),
+        g_depth.reshape(B, P, 1),
+    ]
+    G = jnp.concatenate(
+        [p.astype(jnp.float32) for p in parts]
+        + [jnp.ones((B, P, 1), jnp.float32)],  # counts channel
+        axis=-1,
+    )
+    G = jnp.where(hit[..., None] & jnp.isfinite(G), G, 0.0)
+    nc = G.shape[-1]
+    acc = jax.vmap(lambda i, v: jnp.zeros((n + 1, nc), jnp.float32).at[i].add(v))(
+        idx, G
+    )[:, :n]
+    counts = jnp.maximum(acc[..., -1], 1.0)[..., None]
+    accn = acc[..., :-1] / counts
+    d_color = accn[..., 0:3].astype(g_color.dtype)
+    d_normal = accn[..., 3:6].astype(g_normal.dtype)
+    d_semantic = accn[..., 6 : 6 + NUM_CLASSES].astype(g_semantic.dtype)
+    d_sdf = accn[..., 6 + NUM_CLASSES].astype(g_depth.dtype)
     return d_sdf, d_color, d_normal, d_semantic, None, None, None
 
 
