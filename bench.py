@@ -261,6 +261,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         channels_first=getattr(args, "channels_first", False),
         pallas_conv=getattr(args, "pallas_conv", False),
         fused_conv=getattr(args, "fused_conv", False),
+        folded_conv=getattr(args, "folded_conv", False),
         compact_resid=getattr(args, "compact_resid", False),
         remat=remat,
         **({"fuse_raycast": False} if getattr(args, "unfuse", False)
@@ -375,6 +376,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
             "channels_first": cfg.channels_first,
             "pallas_conv": cfg.pallas_conv,
             "fused_conv": cfg.fused_conv,
+            "folded_conv": cfg.folded_conv,
             "compact_resid": cfg.compact_resid,
             "cached_renders": precomp is not None,
             "straggler_frac": cfg.straggler_frac,
@@ -489,6 +491,11 @@ def main():
                    default=False,
                    help="route 3x3x3 stride-1 generator convs through the "
                    "Pallas im2col kernel")
+    p.add_argument("--folded_conv", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="output-folded matmul formulation for 3x3x3 stride-1 "
+                   "generator convs (gy*gx output pixels per MXU row — the "
+                   "nf=20 lane-ceiling fix, ops/folded_conv.py)")
     p.add_argument("--compact_resid", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="compact lane-aligned generator residuals (~4x lower "

@@ -141,6 +141,32 @@ class _ConvPallas(nn.Module):
         return y + bias.astype(y.dtype)
 
 
+class _ConvFolded(nn.Module):
+    """3x3x3 stride-1 conv via the output-folded matmul formulation
+    (ops/folded_conv.py): a (gy, gx) block of output pixels per MXU row, so
+    the matmul's lane dim is gy*gx*features instead of features (the nf=20
+    "conv ceiling", docs/DESIGN.md §5). nn.Conv-identical parameters."""
+
+    features: int
+    fold: Tuple[int, int]
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.folded_conv import conv3x3_folded
+
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kernel_init(), (3, 3, 3, in_ch, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        # match nn.Conv's dtype=None promotion (see _ConvChannelsFirst)
+        cdt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        y = conv3x3_folded(x.astype(cdt), kernel.astype(cdt), self.fold)
+        return y + bias.astype(y.dtype)
+
+
 class _ConvPallasFused(nn.Module):
     """Fused 3x3x3 conv + bias + LeakyReLU(0.2) + BN batch statistics via
     ops/pallas_conv.conv3x3_act_stats, with nn.Conv-identical parameters.
@@ -222,6 +248,7 @@ class ConvBlock(nn.Module):
     channels_first: bool = False
     pallas_conv: bool = False
     fused_conv: bool = False
+    folded_conv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -249,8 +276,17 @@ class ConvBlock(nn.Module):
                 momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="BatchNorm_0"
             )(y, s, ss, n, use_running_average=not train)
         use_pallas = self.pallas_conv and eligible
+        fold = (1, 1)
+        if self.folded_conv and eligible and not use_pallas:
+            from ..ops.folded_conv import pick_fold
+
+            fold = pick_fold(x.shape[2], x.shape[3], self.features)
         if use_pallas:
             x = _ConvPallas(self.features, dtype=self.dtype, name="Conv_0")(x)
+        elif fold != (1, 1):
+            x = _ConvFolded(
+                self.features, fold=fold, dtype=self.dtype, name="Conv_0"
+            )(x)
         elif self.channels_first:
             x = _ConvChannelsFirst(
                 self.features,
@@ -323,6 +359,11 @@ class GeneratorConfig:
     # BN statistic reductions disappear). Parameters/batch_stats trees are
     # identical to the plain path (tests/test_model.py)
     fused_conv: bool = False
+    # compute eligible 3x3x3 stride-1 convs as output-folded matmuls
+    # (ops/folded_conv.py): a (gy, gx) pixel block per MXU row widens the
+    # lane dim to gy*gx*features — the space-to-depth answer to the nf=20
+    # conv ceiling (20/128 lanes filled). Parameters identical to nn.Conv.
+    folded_conv: bool = False
     # rematerialize activations in the backward pass (jax.checkpoint per
     # conv block): trades ~30% more FLOPs for large activation-memory savings
     # — enables bigger batches on one chip
@@ -361,6 +402,8 @@ class Generator(nn.Module):
             Block = functools.partial(Block, pallas_conv=True)
         if cfg.fused_conv:
             Block = functools.partial(Block, fused_conv=True)
+        if cfg.folded_conv:
+            Block = functools.partial(Block, folded_conv=True)
         # layout helpers: preprocessing stays channel-last (cheap elementwise);
         # branches run in the configured layout; outputs return channel-last
         chax = 1 if cf else -1

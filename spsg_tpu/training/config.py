@@ -84,6 +84,10 @@ class TrainConfig:
     # fused conv+bias+LeakyReLU+BN-statistics Pallas block for eligible
     # generator convs (models/generator.py ConvBlock.fused_conv)
     fused_conv: bool = False
+    # output-folded matmul formulation for eligible 3x3x3 generator convs
+    # (ops/folded_conv.py): a (gy, gx) output-pixel block per MXU row widens
+    # the matmul lane dim to gy*gx*features (the nf=20 conv-ceiling fix)
+    folded_conv: bool = False
     # save only lane-aligned COMPACT conv outputs as generator backward
     # residuals (jax.checkpoint policy over the tags in models/generator.py):
     # on TPU every conv activation is otherwise stored padded to the 128-lane

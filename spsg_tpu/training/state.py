@@ -44,6 +44,7 @@ def make_generator(cfg: TrainConfig) -> Generator:
             channels_first=cfg.channels_first,
             pallas_conv=cfg.pallas_conv,
             fused_conv=cfg.fused_conv,
+            folded_conv=cfg.folded_conv,
             remat=cfg.remat,
         )
     )

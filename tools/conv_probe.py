@@ -11,6 +11,10 @@ this probe times fwd+bwd of an N-layer stack under several formulations:
   zslab     2D conv per z-tap: sum_dz conv2d(x[z+dz], W[dz]) via one rank-4
             conv over a (B*Z, Y, X, 3*C) z-neighbor stack
   taps      27 shifted (1M, Cin) @ (Cin, Cout) matmuls, accumulated
+  pallas    the Pallas im2col kernel (ops/pallas_conv.py)
+  fused     the fused conv+bias+act+BN-stats Pallas kernel
+  folded    output-folded matmul (ops/folded_conv.py): gy*gx output pixels
+            per row -> lane dim gy*gx*C instead of C (the nf=20 lane fix)
 
   python tools/conv_probe.py            # TPU
   python tools/conv_probe.py --cpu      # smoke only
@@ -123,6 +127,16 @@ def main():
             x = act(conv3x3(x, k, args.cpu))  # interpret on CPU
         return jnp.sum(x.astype(jnp.float32))
 
+    def stack_folded(x, kernels):
+        # output-folded matmul (ops/folded_conv.py): gy*gx output pixels per
+        # MXU row so the lane dim is gy*gx*C instead of C
+        from spsg_tpu.ops.folded_conv import conv3x3_folded, pick_fold
+
+        fold = pick_fold(Y, X, C)
+        for k in kernels:
+            x = act(conv3x3_folded(x, k, fold))
+        return jnp.sum(x.astype(jnp.float32))
+
     zero_b = jnp.zeros((C,), jnp.float32)
 
     def stack_fused(x, kernels):
@@ -143,6 +157,7 @@ def main():
         "taps": stack_taps,
         "pallas": stack_pallas,
         "fused": stack_fused,
+        "folded": stack_folded,
     }
     if args.only:
         keep = set(args.only.split(","))

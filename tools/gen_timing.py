@@ -27,6 +27,8 @@ def main():
     p.add_argument("--fused_conv", action="store_true",
                    help="fused conv+act+BN-stats Pallas block")
     p.add_argument("--pallas_conv", action="store_true")
+    p.add_argument("--folded_conv", action="store_true",
+                   help="output-folded conv matmuls (ops/folded_conv.py)")
     args = p.parse_args()
 
     import jax
@@ -45,6 +47,7 @@ def main():
         weight_disc_loss=0.0,
         fused_conv=args.fused_conv,
         pallas_conv=args.pallas_conv,
+        folded_conv=args.folded_conv,
     )
     gen = make_generator(cfg)
     gs, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)

@@ -46,24 +46,26 @@ run 2 conv_probe 1500 python tools/conv_probe.py
 # 3. full-step A/Bs, one flag each (vs the step-1 baseline)
 run 3 bench_fused_conv 900 python bench.py --fused_conv
 run 4 bench_pallas_conv 900 python bench.py --pallas_conv
-run 5 bench_pair 900 python bench.py --pair
-run 6 bench_compact_global 900 python bench.py --compact_global
-run 7 bench_pair_global 900 python bench.py --pair --compact_global
-run 8 bench_spc4 900 python bench.py --steps_per_call 4 --steps 3
-# 9. batch non-scaling triage: B=8 with the global compaction + profile
-run 9 bench_b8_global 1200 python bench.py --batch_size 8 --compact_resid --compact_global
-run 10 bench_b8_profile 1200 python bench.py --batch_size 8 --compact_resid \
+run 5 bench_folded_conv 900 python bench.py --folded_conv
+run 6 bench_pair 900 python bench.py --pair
+run 7 bench_compact_global 900 python bench.py --compact_global
+run 8 bench_pair_global 900 python bench.py --pair --compact_global
+run 9 bench_spc4 900 python bench.py --steps_per_call 4 --steps 3
+# 10. batch non-scaling triage: B=8 with the global compaction + profile
+run 10 bench_b8_global 1200 python bench.py --batch_size 8 --compact_resid --compact_global
+run 11 bench_b8_profile 1200 python bench.py --batch_size 8 --compact_resid \
     --profile_dir /tmp/b8trace --steps 3
-# 11. whole-scene: loop vs scan dispatch + window sweep
-run 11 bench_scene 900 python bench.py --mode scene
-run 12 bench_scene_scan 900 python bench.py --mode scene --scan_windows
-run 13 scene_sweep 3600 python tools/scene_sweep.py --window_batches 8 16 32
-# 14. isolated generator timing with the fused block
-run 14 gen_timing_fused 900 python tools/gen_timing.py --fused_conv
-# 15. production-operating-point curriculum run (VERDICT r3 item 6): geo ->
+# 12. whole-scene: loop vs scan dispatch + window sweep
+run 12 bench_scene 900 python bench.py --mode scene
+run 13 bench_scene_scan 900 python bench.py --mode scene --scan_windows
+run 14 scene_sweep 3600 python tools/scene_sweep.py --window_batches 8 16 32
+# 15. isolated generator timing: fused block vs folded matmuls
+run 15 gen_timing_fused 900 python tools/gen_timing.py --fused_conv
+run 16 gen_timing_folded 900 python tools/gen_timing.py --folded_conv
+# 17. production-operating-point curriculum run (VERDICT r3 item 6): geo ->
 #     GAN phases at the flagship dims with the r3/r4 features on; ~1-2k
 #     steps; log.csv + occ-IoU land in the save dir (committed as evidence)
-run 15 curriculum 5400 python -m spsg_tpu.cli.train \
+run 17 curriculum 5400 python -m spsg_tpu.cli.train \
     --synthetic_chunks 64 --save "$EV/curriculum_run" \
     --batch_size 2 --max_epoch 60 --num_iters_geo_only 400 \
     --num_iters_before_content 999999 \
