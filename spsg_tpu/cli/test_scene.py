@@ -41,6 +41,8 @@ def build_parser():
     p.add_argument("--max_input_height", type=int, default=128)
     p.add_argument("--compute_dtype", type=str, default="",
                    help="'bfloat16' runs the generator convs in bf16")
+    p.add_argument("--folded_conv", action="store_true",
+                   help="output-folded conv matmuls (ops/folded_conv.py)")
     p.add_argument("--num_to_vis", type=int, default=10)
     p.add_argument("--max_to_process", type=int, default=150)
     p.add_argument("--vis_only", action="store_true",
@@ -145,6 +147,7 @@ def main(argv=None):
         color_space=args.color_space,
         weight_disc_loss=0.0,
         compute_dtype=args.compute_dtype or None,
+        folded_conv=args.folded_conv,
     )
     generator = make_generator(cfg)
     gen_state, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)

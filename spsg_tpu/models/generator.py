@@ -142,28 +142,29 @@ class _ConvPallas(nn.Module):
 
 
 class _ConvFolded(nn.Module):
-    """3x3x3 stride-1 conv via the output-folded matmul formulation
+    """Odd-kernel stride-1 conv via the output-folded matmul formulation
     (ops/folded_conv.py): a (gy, gx) block of output pixels per MXU row, so
     the matmul's lane dim is gy*gx*features instead of features (the nf=20
     "conv ceiling", docs/DESIGN.md §5). nn.Conv-identical parameters."""
 
     features: int
     fold: Tuple[int, int]
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.folded_conv import conv3x3_folded
+        from ..ops.folded_conv import conv_folded
 
         in_ch = x.shape[-1]
         kernel = self.param(
-            "kernel", torch_kernel_init(), (3, 3, 3, in_ch, self.features),
-            jnp.float32,
+            "kernel", torch_kernel_init(),
+            self.kernel_size + (in_ch, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
         # match nn.Conv's dtype=None promotion (see _ConvChannelsFirst)
         cdt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
-        y = conv3x3_folded(x.astype(cdt), kernel.astype(cdt), self.fold)
+        y = conv_folded(x.astype(cdt), kernel.astype(cdt), self.fold)
         return y + bias.astype(y.dtype)
 
 
@@ -276,16 +277,31 @@ class ConvBlock(nn.Module):
                 momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="BatchNorm_0"
             )(y, s, ss, n, use_running_average=not train)
         use_pallas = self.pallas_conv and eligible
+        # folded eligibility is wider than Pallas': any odd SAME kernel
+        # (the 5x5x5 full-res geo_0a/encoder_0a are the worst lane-fill
+        # offenders: 125*C taps onto 10/20 of 128 lanes)
         fold = (1, 1)
-        if self.folded_conv and eligible and not use_pallas:
+        if (
+            self.folded_conv
+            and not use_pallas
+            and not self.channels_first
+            and self.stride == 1
+            and self.dilation == 1
+            and all(k % 2 == 1 for k in self.kernel)
+            and self.padding == self.kernel[0] // 2
+            and self.kernel[0] == self.kernel[1] == self.kernel[2]
+        ):
             from ..ops.folded_conv import pick_fold
 
-            fold = pick_fold(x.shape[2], x.shape[3], self.features)
+            fold = pick_fold(
+                x.shape[2], x.shape[3], self.features, k=self.kernel[0]
+            )
         if use_pallas:
             x = _ConvPallas(self.features, dtype=self.dtype, name="Conv_0")(x)
         elif fold != (1, 1):
             x = _ConvFolded(
-                self.features, fold=fold, dtype=self.dtype, name="Conv_0"
+                self.features, fold=fold, kernel_size=self.kernel,
+                dtype=self.dtype, name="Conv_0",
             )(x)
         elif self.channels_first:
             x = _ConvChannelsFirst(

@@ -34,17 +34,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["pick_fold", "fold_win", "conv3x3_folded"]
+__all__ = ["pick_fold", "fold_win", "conv3x3_folded", "conv_folded"]
 
 
-def fold_win(gy: int, gx: int) -> float:
-    """Theoretical MXU-time reduction factor vs a lane-padded F<128 conv."""
-    return 9.0 * gy * gx / ((gy + 2) * (gx + 2))
+def fold_win(gy: int, gx: int, k: int = 3) -> float:
+    """Theoretical MXU-time reduction factor vs a lane-padded F<128 conv:
+    baseline k^3*C*128 per output pixel vs k*(gy+k-1)*(gx+k-1)*C*128/(gy*gx)
+    for the folded union-patch matmul."""
+    return k * k * gy * gx / ((gy + k - 1) * (gx + k - 1))
 
 
 def pick_fold(
     y_dim: int, x_dim: int, features: int, max_lanes: int = 128,
-    folds: Tuple[int, ...] = (1, 2, 4, 8),
+    folds: Tuple[int, ...] = (1, 2, 4, 8), k: int = 3,
 ) -> Tuple[int, int]:
     """Choose (gy, gx) maximizing fold_win subject to divisibility and the
     lane budget gy*gx*features <= max_lanes. Returns (1, 1) when no fold
@@ -58,7 +60,7 @@ def pick_fold(
                 continue
             if gy * gx * features > max_lanes:
                 continue
-            w = fold_win(gy, gx)
+            w = fold_win(gy, gx, k)
             if w > best_win + 1e-9:
                 best, best_win = (gy, gx), w
     return best
@@ -67,7 +69,7 @@ def pick_fold(
 @functools.lru_cache(maxsize=None)
 def _selector(g: int, k: int) -> np.ndarray:
     """S[u, j, d] = 1 where union tap u == output phase j + kernel tap d."""
-    s = np.zeros((g + 2, g, k), np.float32)
+    s = np.zeros((g + k - 1, g, k), np.float32)
     for j in range(g):
         for d in range(k):
             s[j + d, j, d] = 1.0
@@ -75,60 +77,77 @@ def _selector(g: int, k: int) -> np.ndarray:
 
 
 def _fold_weights(kernel: jax.Array, gy: int, gx: int) -> jax.Array:
-    """(3,3,3,C,F) kernel -> ((gx+2)*(gy+2)*3*C, gy*gx*F) scattered matrix.
+    """(kz,ky,kx,C,F) kernel -> ((gx+kx-1)*(gy+ky-1)*kz*C, gy*gx*F) matrix.
 
     Row index order (ux, uy, dz, c) matches _extract's patch layout; column
     index order (jy, jx, f) matches the output phase unfold in
-    conv3x3_folded."""
+    conv_folded."""
     kz, ky, kx, c, f = kernel.shape
     sy = jnp.asarray(_selector(gy, ky), kernel.dtype)
     sx = jnp.asarray(_selector(gx, kx), kernel.dtype)
     w = jnp.einsum("zyxcf,ujy,vkx->vuzcjkf", kernel, sy, sx)
-    return w.reshape((gx + 2) * (gy + 2) * kz * c, gy * gx * f)
+    return w.reshape((gx + kx - 1) * (gy + ky - 1) * kz * c, gy * gx * f)
 
 
-def _extract(xp: jax.Array, gy: int, gx: int) -> jax.Array:
-    """Union patches of a padded (B, Z+2, Y+2, X+2, C) input.
+def _extract(
+    xp: jax.Array, gy: int, gx: int, kz: int, ky: int, kx: int
+) -> jax.Array:
+    """Union patches of a SAME-padded (B, Z+kz-1, Y+ky-1, X+kx-1, C) input.
 
-    Returns (B, Z, Ty, Tx, (gx+2)*(gy+2)*3*C) with patch index (ux, uy,
-    dz, c). Built from 3 + (gy+2) + (gx+2) strided slices (hierarchical
-    unfold, z then y then x) — cheap dense copies whose VJP is pad+add."""
+    Returns (B, Z, Ty, Tx, (gx+kx-1)*(gy+ky-1)*kz*C) with patch index (ux,
+    uy, dz, c). Built from kz + (gy+ky-1) + (gx+kx-1) strided slices
+    (hierarchical unfold, z then y then x) — cheap dense copies whose VJP
+    is pad+add."""
     b, zp, yp, xp_dim, c = xp.shape
-    z, y, x = zp - 2, yp - 2, xp_dim - 2
+    z, y, x = zp - (kz - 1), yp - (ky - 1), xp_dim - (kx - 1)
     ty, tx = y // gy, x // gx
-    # z unfold: (B, Z, Y+2, X+2, 3C), channel index (dz, c)
-    v = jnp.concatenate([xp[:, dz : dz + z] for dz in range(3)], axis=-1)
-    # y unfold (strided): (B, Z, Ty, X+2, (gy+2)*3C), index (uy, dz, c)
+    # z unfold: (B, Z, Y+ky-1, X+kx-1, kz*C), channel index (dz, c)
+    v = jnp.concatenate([xp[:, dz : dz + z] for dz in range(kz)], axis=-1)
+    # y unfold (strided): (B, Z, Ty, X+kx-1, (gy+ky-1)*kz*C), index (uy, dz, c)
     v = jnp.concatenate(
-        [v[:, :, uy : uy + gy * (ty - 1) + 1 : gy] for uy in range(gy + 2)],
+        [v[:, :, uy : uy + gy * (ty - 1) + 1 : gy] for uy in range(gy + ky - 1)],
         axis=-1,
     )
-    # x unfold (strided): (B, Z, Ty, Tx, (gx+2)*(gy+2)*3C), index (ux, uy, dz, c)
+    # x unfold (strided): index (ux, uy, dz, c)
     v = jnp.concatenate(
-        [v[:, :, :, ux : ux + gx * (tx - 1) + 1 : gx] for ux in range(gx + 2)],
+        [v[:, :, :, ux : ux + gx * (tx - 1) + 1 : gx] for ux in range(gx + kx - 1)],
         axis=-1,
     )
     return v
 
 
-def conv3x3_folded(
+def conv_folded(
     x: jax.Array, kernel: jax.Array, fold: Tuple[int, int]
 ) -> jax.Array:
-    """3x3x3 stride-1 SAME conv of NDHWC `x` with `kernel` (3,3,3,C,F),
-    computed as one patch-matmul with gy*gx*F output lanes. `fold` = (gy,
-    gx) must divide (Y, X) — use pick_fold. Bias is the caller's job (the
-    flax module adds it, mirroring _ConvPallas)."""
+    """Odd-kernel stride-1 SAME conv of NDHWC `x` with `kernel`
+    (kz,ky,kx,C,F), computed as one patch-matmul with gy*gx*F output lanes.
+    `fold` = (gy, gx) must divide (Y, X) — use pick_fold. Bias is the
+    caller's job (the flax module adds it, mirroring _ConvPallas)."""
     gy, gx = fold
     b, z, y, x_dim, c = x.shape
-    f = kernel.shape[-1]
+    kz, ky, kx, _, f = kernel.shape
+    if kz % 2 == 0 or ky % 2 == 0 or kx % 2 == 0:
+        raise ValueError(f"conv_folded needs odd kernel dims, got {(kz, ky, kx)}")
     if y % gy or x_dim % gx:
         raise ValueError(f"fold {fold} does not divide spatial dims {(y, x_dim)}")
     ty, tx = y // gy, x_dim // gx
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    # The patch tensor is ~3*(gy+2)*(gx+2)/(gy*gx) x the input: rematerialize
-    # it in the backward instead of saving it as a dot residual.
-    patches = jax.checkpoint(functools.partial(_extract, gy=gy, gx=gx))(xp)
+    xp = jnp.pad(
+        x,
+        ((0, 0), (kz // 2, kz // 2), (ky // 2, ky // 2), (kx // 2, kx // 2), (0, 0)),
+    )
+    # The patch tensor is kz*(gy+ky-1)*(gx+kx-1)/(gy*gx) x the input:
+    # rematerialize it in the backward instead of saving it as a dot residual.
+    patches = jax.checkpoint(
+        functools.partial(_extract, gy=gy, gx=gx, kz=kz, ky=ky, kx=kx)
+    )(xp)
     w = _fold_weights(kernel, gy, gx)
     ymat = jnp.matmul(patches, w)  # (B, Z, Ty, Tx, gy*gx*F)
     yblk = ymat.reshape(b, z, ty, tx, gy, gx, f)
     return yblk.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, z, y, x_dim, f)
+
+
+def conv3x3_folded(
+    x: jax.Array, kernel: jax.Array, fold: Tuple[int, int]
+) -> jax.Array:
+    """3x3x3 alias of conv_folded (the original entry point)."""
+    return conv_folded(x, kernel, fold)

@@ -9,12 +9,13 @@ import numpy as np
 import pytest
 
 from spsg_tpu.models import Generator, GeneratorConfig
-from spsg_tpu.ops.folded_conv import conv3x3_folded, fold_win, pick_fold
+from spsg_tpu.ops.folded_conv import conv3x3_folded, conv_folded, fold_win, pick_fold
 
 
 def _ref_conv(x, k):
+    p = k.shape[0] // 2
     return jax.lax.conv_general_dilated(
-        x, k, (1, 1, 1), [(1, 1)] * 3,
+        x, k, (1, 1, 1), [(p, p)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
 
@@ -36,6 +37,32 @@ def test_folded_matches_conv(shape, feat, fold):
     ref = _ref_conv(x, k)
     got = conv3x3_folded(x, k, fold)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("fold", [(2, 4), (4, 4), (1, 2)])
+def test_folded_5x5x5_matches_conv(fold):
+    # the generator's full-res geo_0a/encoder_0a are 5x5x5 stride-1 SAME
+    # convs (reference model.py:196, 250) — the worst lane-fill offenders
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 6, 8, 8, 4), np.float32))
+    k = jnp.asarray(rng.standard_normal((5, 5, 5, 4, 2), np.float32))
+    ref = _ref_conv(x, k)
+    got = conv_folded(x, k, fold)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-5)
+    ct = jnp.asarray(rng.standard_normal(ref.shape, np.float32))
+    g_ref = jax.grad(lambda x, k: jnp.sum(_ref_conv(x, k) * ct), (0, 1))(x, k)
+    g_new = jax.grad(lambda x, k: jnp.sum(conv_folded(x, k, fold) * ct), (0, 1))(x, k)
+    for a, b, nm in [(g_ref[0], g_new[0], "dx"), (g_ref[1], g_new[1], "dkernel")]:
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-5, err_msg=nm
+        )
+
+
+def test_folded_rejects_even_kernel():
+    x = jnp.zeros((1, 4, 4, 4, 3))
+    k = jnp.zeros((4, 4, 4, 3, 4))
+    with pytest.raises(ValueError):
+        conv_folded(x, k, (2, 2))
 
 
 def test_folded_gradients_match_conv():

@@ -59,13 +59,14 @@ run 11 bench_b8_profile 1200 python bench.py --batch_size 8 --compact_resid \
 run 12 bench_scene 900 python bench.py --mode scene
 run 13 bench_scene_scan 900 python bench.py --mode scene --scan_windows
 run 14 scene_sweep 3600 python tools/scene_sweep.py --window_batches 8 16 32
-# 15. isolated generator timing: fused block vs folded matmuls
-run 15 gen_timing_fused 900 python tools/gen_timing.py --fused_conv
-run 16 gen_timing_folded 900 python tools/gen_timing.py --folded_conv
-# 17. production-operating-point curriculum run (VERDICT r3 item 6): geo ->
+run 15 bench_scene_folded 900 python bench.py --mode scene --folded_conv
+# 16. isolated generator timing: fused block vs folded matmuls
+run 16 gen_timing_fused 900 python tools/gen_timing.py --fused_conv
+run 17 gen_timing_folded 900 python tools/gen_timing.py --folded_conv
+# 18. production-operating-point curriculum run (VERDICT r3 item 6): geo ->
 #     GAN phases at the flagship dims with the r3/r4 features on; ~1-2k
 #     steps; log.csv + occ-IoU land in the save dir (committed as evidence)
-run 17 curriculum 5400 python -m spsg_tpu.cli.train \
+run 18 curriculum 5400 python -m spsg_tpu.cli.train \
     --synthetic_chunks 64 --save "$EV/curriculum_run" \
     --batch_size 2 --max_epoch 60 --num_iters_geo_only 400 \
     --num_iters_before_content 999999 \
