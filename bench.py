@@ -88,8 +88,8 @@ def _supervise() -> "int":
     # 390 s covers a cold full-step compile through the relay (~240-290 s
     # observed end-to-end) with margin; cache-warm runs finish in ~160 s
     deadline = int(os.environ.get("BENCH_ATTEMPT_S", "390"))
-    if "--sweep" in sys.argv:  # sweeps legitimately run for hours
-        deadline *= 24
+    if "--sweep" in sys.argv or "--ab" in sys.argv:
+        deadline *= 24  # multi-config runs legitimately take hours
     pause = 15
     state = {"p": None, "buf": []}
 
@@ -182,7 +182,7 @@ jax.config.update(
 )
 
 
-def bench_scene(args):
+def bench_scene(args, quiet=False):
     """Whole-scene chunked inference throughput: voxels/sec at 2 cm
     (the second north-star metric, BASELINE.md)."""
     from spsg_tpu.data import pipeline, synthetic
@@ -194,6 +194,9 @@ def bench_scene(args):
     cfg = TrainConfig(
         weight_disc_loss=0.0,
         compute_dtype="bfloat16" if bf16 else None,
+        pallas_conv=getattr(args, "pallas_conv", False),
+        fused_conv=getattr(args, "fused_conv", False),
+        folded_conv=getattr(args, "folded_conv", False),
     )
     gen = make_generator(cfg)
     gs, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
@@ -228,11 +231,16 @@ def bench_scene(args):
         "vs_baseline": None,
         "extra": {"scene_dims": list(out.sdf.shape), "seconds": round(dt, 3),
                   "window_batch": args.window_batch, "bf16": bf16,
-                  "scan_windows": getattr(args, "scan_windows", False)},
+                  "scan_windows": getattr(args, "scan_windows", False),
+                  "folded_conv": cfg.folded_conv,
+                  "fused_conv": cfg.fused_conv,
+                  "pallas_conv": cfg.pallas_conv},
     }
-    global _RESULT_PRINTED
-    _RESULT_PRINTED = True
-    print(json.dumps(result), flush=True)
+    if not quiet:
+        global _RESULT_PRINTED
+        _RESULT_PRINTED = True
+        print(json.dumps(result), flush=True)
+    return result
 
 
 def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
@@ -425,6 +433,75 @@ def bench_sweep(args):
     print(json.dumps(best), flush=True)
 
 
+# Round-4 A/B matrices. One PROCESS runs every variant: the axon relay died
+# after ~15 TPU processes in round 3, so the per-process cost is the scarce
+# resource — a single process recompiles per variant but needs one backend
+# init and one relay grant for the whole matrix.
+_AB_TRAIN = [
+    ("baseline", {}),
+    ("fused_conv", {"fused_conv": True}),
+    ("pallas_conv", {"pallas_conv": True}),
+    ("folded_conv", {"folded_conv": True}),
+    ("folded+fused", {"folded_conv": True, "fused_conv": True}),
+    ("pair", {"pair": True}),
+    ("compact_global", {"compact_global": True}),
+    ("pair+global", {"pair": True, "compact_global": True}),
+    ("spc4", {"steps_per_call": 4, "steps": 3}),
+    ("best_combo", {"folded_conv": True, "fused_conv": True, "pair": True,
+                    "compact_global": True}),
+    ("b8_resid_global", {"batch_size": 8, "compact_resid": True,
+                         "compact_global": True}),
+    ("b8_resid_folded", {"batch_size": 8, "compact_resid": True,
+                         "folded_conv": True}),
+]
+_AB_SCENE = [
+    ("baseline", {}),
+    ("scan", {"scan_windows": True}),
+    ("folded", {"folded_conv": True}),
+    ("folded+scan", {"folded_conv": True, "scan_windows": True}),
+    ("folded_wb16", {"folded_conv": True, "window_batch": 16}),
+]
+
+
+def bench_ab(args):
+    """One-process A/B matrix over the round-4 knobs (train or scene mode).
+    One stderr row per variant as it lands (so a mid-matrix relay death
+    still leaves evidence); the single driver JSON line reports the best
+    variant with the full matrix in extra.ab."""
+    scene = args.mode == "scene"
+    variants = _AB_SCENE if scene else _AB_TRAIN
+    if args.only_ab:
+        keep = set(args.only_ab.split(","))
+        variants = [v for v in variants if v[0] in keep]
+    rows = []
+    for name, over in variants:
+        a = argparse.Namespace(**{**vars(args), **over})
+        _phase(f"A/B variant '{name}'")
+        try:
+            r = (bench_scene if scene else bench_train)(a, quiet=True)
+        except Exception as e:  # OOM at B=8 without resid etc.
+            print(f"[ab] {name}: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr, flush=True)
+            continue
+        rows.append((name, r))
+        unit = "voxels/s" if scene else "chunks/s/chip"
+        print(f"[ab] {name}: {r['value']} {unit}", file=sys.stderr, flush=True)
+    if not rows:
+        raise SystemExit("ab: every variant failed")
+    best_name, best = max(rows, key=lambda nr: nr[1]["value"])
+    best["extra"]["ab_best"] = best_name
+    best["extra"]["ab"] = [
+        {"variant": n, "value": r["value"],
+         **({"seconds": r["extra"].get("seconds")} if scene
+            else {"step_time_s": r["extra"].get("step_time_s"),
+                  "batch_size": r["extra"].get("batch_size")})}
+        for n, r in rows
+    ]
+    global _RESULT_PRINTED
+    _RESULT_PRINTED = True
+    print(json.dumps(best), flush=True)
+
+
 def main():
     # Watchdog: if the TPU relay is wedged, backend init hangs forever (no
     # exception); emit a parseable diagnostic JSON line and bail instead of
@@ -434,7 +511,8 @@ def main():
     import threading
 
     done = threading.Event()
-    sweep_run = "--sweep" in sys.argv  # sweeps legitimately run for hours
+    # multi-config runs legitimately take hours
+    sweep_run = "--sweep" in sys.argv or "--ab" in sys.argv
 
     def _watchdog():
         base = int(os.environ.get("BENCH_WATCHDOG_S", "540"))
@@ -475,6 +553,11 @@ def main():
                    "for CPU smoke tests only")
     p.add_argument("--sweep", action="store_true",
                    help="batch-scaling sweep; reports the best config")
+    p.add_argument("--ab", action="store_true",
+                   help="one-process A/B matrix over the round-4 knobs "
+                   "(respects --mode; one stderr row per variant)")
+    p.add_argument("--only_ab", default="",
+                   help="comma-separated subset of --ab variant names")
     p.add_argument("--march_block", type=int, default=0,
                    help="override march fine-block size (0 = config default)")
     p.add_argument("--hops", type=int, default=0,
@@ -529,6 +612,8 @@ def main():
     args = p.parse_args()
 
     try:
+        if args.ab:
+            return bench_ab(args)
         if args.mode == "scene":
             return bench_scene(args)
         if args.sweep:

@@ -73,9 +73,10 @@ def test_data_parallel_matches_single_device():
 def test_sharded_full_step_with_round4_knobs():
     """The round-4 perf knobs must compile and run under a data-parallel
     mesh: pair_raycast (stacked 2B march), compact_across_batch (cross-row
-    straggler gathers become collectives under GSPMD), and fused_conv (the
-    Pallas block, interpret mode on CPU devices). Finite loss + replicated
-    params."""
+    straggler gathers become collectives under GSPMD), fused_conv (the
+    Pallas block, interpret mode on CPU devices), and folded_conv (the
+    output-folded matmul; per-shard spatial slicing under GSPMD). Finite
+    loss + replicated params."""
     n = 4
     mesh = make_mesh(jax.devices()[:n])
     cfg = TrainConfig(
@@ -83,6 +84,8 @@ def test_sharded_full_step_with_round4_knobs():
         style_width=48, style_height=32, patch_size=16,
         max_depth_fill_iters=4, min_num_valid_2d=10,
         pair_raycast=True, compact_across_batch=True, fused_conv=True,
+        folded_conv=True,  # composes: fused takes act+bn 3x3x3 blocks,
+        # folded takes the remaining eligible convs (5x5x5 + bare heads)
     )
     gen_state, disc_state = init_states(cfg, jax.random.PRNGKey(0))
     trainer = Trainer(cfg)

@@ -39,37 +39,33 @@ run() {  # run <step> <name> <timeout_s> <cmd...>
 
 probe || exit 1
 
+# PROCESS BUDGET: the relay died after ~15 TPU processes in round 3, so
+# the queue is compressed into few one-process multi-config runs
+# (bench.py --ab). Highest-value first; each later step is optional gravy.
+#
 # 1. the driver deliverable first: bench must emit its JSON cold
 run 1 bench_default 900 python bench.py
-# 2. conv formulations (the round-3 unmeasured probe) + the fused block
-run 2 conv_probe 1500 python tools/conv_probe.py
-# 3. full-step A/Bs, one flag each (vs the step-1 baseline)
-run 3 bench_fused_conv 900 python bench.py --fused_conv
-run 4 bench_pallas_conv 900 python bench.py --pallas_conv
-run 5 bench_folded_conv 900 python bench.py --folded_conv
-run 6 bench_pair 900 python bench.py --pair
-run 7 bench_compact_global 900 python bench.py --compact_global
-run 8 bench_pair_global 900 python bench.py --pair --compact_global
-run 9 bench_spc4 900 python bench.py --steps_per_call 4 --steps 3
-# 10. batch non-scaling triage: B=8 with the global compaction + profile
-run 10 bench_b8_global 1200 python bench.py --batch_size 8 --compact_resid --compact_global
-run 11 bench_b8_profile 1200 python bench.py --batch_size 8 --compact_resid \
-    --profile_dir /tmp/b8trace --steps 3
-# 12. whole-scene: loop vs scan dispatch + window sweep
-run 12 bench_scene 900 python bench.py --mode scene
-run 13 bench_scene_scan 900 python bench.py --mode scene --scan_windows
-run 14 scene_sweep 3600 python tools/scene_sweep.py --window_batches 8 16 32
-run 15 bench_scene_folded 900 python bench.py --mode scene --folded_conv
-# 16. isolated generator timing: fused block vs folded matmuls
-run 16 gen_timing_fused 900 python tools/gen_timing.py --fused_conv
-run 17 gen_timing_folded 900 python tools/gen_timing.py --folded_conv
-# 18. production-operating-point curriculum run (VERDICT r3 item 6): geo ->
-#     GAN phases at the flagship dims with the r3/r4 features on; ~1-2k
-#     steps; log.csv + occ-IoU land in the save dir (committed as evidence)
-run 18 curriculum 5400 python -m spsg_tpu.cli.train \
+# 2. the ENTIRE train-step flag matrix in one process (baseline, fused/
+#    pallas/folded conv, pair/global compaction, steps_per_call, best
+#    combo, B=8 triage rows) — one stderr row per variant as it lands
+run 2 bench_ab 7200 python bench.py --ab
+# 3. conv formulations (the round-3 unmeasured probe incl. folded + Pallas)
+run 3 conv_probe 1500 python tools/conv_probe.py
+# 4. the whole-scene matrix in one process (loop/scan dispatch, folded
+#    conv, window_batch 16)
+run 4 bench_scene_ab 3600 python bench.py --mode scene --ab
+# 5. production-operating-point curriculum run (VERDICT r3 item 6): geo ->
+#    GAN phases at the flagship dims with the r3/r4 features on; ~1-2k
+#    steps; log.csv + occ-IoU land in the save dir (committed as evidence)
+run 5 curriculum 5400 python -m spsg_tpu.cli.train \
     --synthetic_chunks 64 --save "$EV/curriculum_run" \
     --batch_size 2 --max_epoch 60 --num_iters_geo_only 400 \
     --num_iters_before_content 999999 \
     --compute_dtype bfloat16 --cache_renders 64 --compact_resid \
     --skip_batch_on_bad_depth --no_vis
+# 6+. optional diagnostics if the relay is still healthy
+run 6 scene_sweep 3600 python tools/scene_sweep.py --window_batches 8 16 32
+run 7 bench_b8_profile 1200 python bench.py --batch_size 8 --compact_resid \
+    --profile_dir /tmp/b8trace --steps 3
+run 8 gen_timing_folded 900 python tools/gen_timing.py --folded_conv
 echo "queue complete" | tee -a "$EV/session.log"
