@@ -28,7 +28,9 @@ run() {  # run <step> <name> <timeout_s> <cmd...>
   local step="$1" name="$2" to="$3"; shift 3
   [ "$step" -gt "$STOP" ] && return 0
   echo "=== [$step] $name: $*" | tee -a "$EV/session.log"
-  ( timeout "$to" "$@" ) >"$EV/$name.log" 2>&1
+  # SIGINT first (clean JAX client teardown — a hard kill mid-execution can
+  # wedge the relay, CLAUDE.md); escalate to KILL 60 s later if ignored
+  ( timeout -s INT -k 60 "$to" "$@" ) >"$EV/$name.log" 2>&1
   local rc=$?
   echo "=== [$step] $name rc=$rc" | tee -a "$EV/session.log"
   tail -2 "$EV/$name.log" | tee -a "$EV/session.log"
