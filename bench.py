@@ -201,7 +201,7 @@ def bench_scene(args, quiet=False):
     gen = make_generator(cfg)
     gs, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
     variables = {"params": gs.params, "batch_stats": gs.batch_stats}
-    scene = synthetic.make_scene(dims=(128, 256, 320), seed=1)
+    scene = synthetic.make_scene(dims=tuple(args.scene_dims), seed=1)
     sample = pipeline.assemble_sample(
         scene.sdf_input, scene.sdf_complete, scene.input_colors, scene.colors,
         scene.semantics, scene.known, scene.world2grid, 3.0, "lab", None,
@@ -593,6 +593,9 @@ def main():
                    "batches (single dispatch) instead of a host loop")
     p.add_argument("--window_batch", type=int, default=8,
                    help="windows per device batch in --mode scene")
+    p.add_argument("--scene_dims", type=int, nargs=3, default=[128, 256, 320],
+                   help="--mode scene volume (z y x); y/x must be >= the "
+                   "64x64 window — shrink for CPU smoke runs only")
     p.add_argument("--profile_dir", default="",
                    help="write a jax.profiler trace of the timed steps here "
                    "(summarize with tools/trace_summary.py)")
