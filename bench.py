@@ -32,6 +32,29 @@ import time
 _T0 = time.time()
 _PHASE = "startup"
 _RESULT_PRINTED = False
+_RELAY_PROBE = "not probed"
+
+
+def _probe_relay() -> None:
+    """TCP-probe the TPU relay's loopback port once at startup (no jax
+    involved) so a later hang/timeout diagnostic can say decisively whether
+    the relay was even listening — "connection refused at startup" is the
+    dead-relay signature (CLAUDE.md), distinct from a slow compile."""
+    global _RELAY_PROBE
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "axon").lower():
+        _RELAY_PROBE = "n/a (cpu)"
+        return
+    import socket
+
+    s = socket.socket()
+    s.settimeout(3)
+    try:
+        s.connect(("127.0.0.1", 8082))
+        _RELAY_PROBE = "port 8082 open at startup"
+    except OSError as e:
+        _RELAY_PROBE = f"port 8082 {e.strerror or e} at startup"
+    finally:
+        s.close()
 
 
 def _phase(name: str) -> None:
@@ -54,7 +77,7 @@ def _diagnostic_json(reason: str) -> None:
                 "vs_baseline": None,
                 "error": f"{reason} during phase '{_PHASE}' "
                 f"at +{time.time() - _T0:.1f}s (TPU relay likely wedged, "
-                "see CLAUDE.md)",
+                f"see CLAUDE.md; relay probe: {_RELAY_PROBE})",
             }
         ),
         flush=True,
@@ -166,7 +189,8 @@ if (
 ):
     sys.exit(_supervise())
 
-_phase("importing jax")
+_probe_relay()
+_phase(f"importing jax (relay probe: {_RELAY_PROBE})")
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -345,8 +369,10 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         )
     # block_until_ready is NOT a reliable fence on the axon relay (CLAUDE.md);
     # a host transfer is. Each step consumes the previous step's state, so
-    # transferring the final loss fences the whole chain.
-    float(np.asarray(metrics["loss"]))
+    # transferring the final loss fences the whole chain. (--warmup 0 smoke
+    # runs have nothing to fence; the timed loop below still compiles.)
+    if args.warmup > 0:
+        float(np.asarray(metrics["loss"]))
 
     _phase(f"timing {args.steps} calls x {spc} steps")
     profile_dir = getattr(args, "profile_dir", "")
@@ -515,8 +541,15 @@ def main():
     sweep_run = "--sweep" in sys.argv or "--ab" in sys.argv
 
     def _watchdog():
-        base = int(os.environ.get("BENCH_WATCHDOG_S", "540"))
-        if not done.wait(timeout=base * (24 if sweep_run else 1)):
+        # An explicit BENCH_WATCHDOG_S is authoritative: the supervisor
+        # already folds the sweep/--ab multiplier into the deadline it
+        # derives this value from, so re-multiplying here would push the
+        # child's watchdog past the supervisor's kill — the child would die
+        # without ever emitting its per-phase diagnostic JSON. Only the
+        # un-supervised default applies the multi-config multiplier.
+        env_s = os.environ.get("BENCH_WATCHDOG_S")
+        timeout = int(env_s) if env_s else 540 * (24 if sweep_run else 1)
+        if not done.wait(timeout=timeout):
             _diagnostic_json("watchdog timeout")
             os._exit(7)
 

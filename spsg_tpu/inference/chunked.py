@@ -43,7 +43,10 @@ class SceneOutputs:
     class_weight: np.ndarray  # (14,) target voxel counts per class
 
 
-def window_positions(scene_dims_yx, chunk_yx, stride) -> np.ndarray:
+def window_positions(scene_dims_yx, stride) -> np.ndarray:
+    # Positions depend only on scene extent + stride (windows past the edge
+    # are zero-padded downstream, reference test_scene_as_chunks.py:156-277
+    # semantics) — the window extent deliberately does NOT clamp positions.
     ys = list(range(0, scene_dims_yx[0], stride))
     xs = list(range(0, scene_dims_yx[1], stride))
     return np.array([(y, x) for y in ys for x in xs], dtype=np.int32)
@@ -92,7 +95,7 @@ def run_chunked_inference(
     # stricter SDF-only skip as an opt-in speed knob (metrics then become
     # incomparable to reference numbers on scenes with empty-input windows).
     positions = []
-    for y, x in window_positions(scene_dims[1:], (cy, cx), stride):
+    for y, x in window_positions(scene_dims[1:], stride):
         if skip_empty_windows:
             win = scene_input[:cz, y : y + cy, x : x + cx, 0]
             if not np.any(np.abs(win) < truncation):

@@ -288,7 +288,7 @@ def build_block_windows(cell_ok: jax.Array, block: int) -> jax.Array:
     return jnp.stack(chans, axis=-1)
 
 
-def _skip_hop(k, dead, rays, t0, t_stop, step, win_flat, nb, blockf, shift, widx_offset=None):
+def _skip_hop(k, dead, rays, t0, step, win_flat, nb, blockf, shift, widx_offset=None):
     """One conservative skip hop, shared by both marches: classify the next
     SKIP_HORIZON lattice samples (starting at per-ray index ``k``) against
     the packed 2x2x2 block-window flags and return ``skip_n`` (B, P) — the
@@ -460,7 +460,7 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
                 prev to NaN — exactly what evaluating them would produce."""
                 dead = found | (t0q + k * step > t_stopq)
                 skip_n = _skip_hop(
-                    k, dead, raysq, t0q, t_stopq, step, winq_, nb, blockf, 0.0,
+                    k, dead, raysq, t0q, step, winq_, nb, blockf, 0.0,
                     widx_offset=woffq,
                 )
                 return k + skip_n, jnp.where(skip_n > 0, jnp.nan, prev)
@@ -875,7 +875,7 @@ def raycast_occ(
             # voxel = floor(p + 0.5): classify in shifted coords (shift 0.5)
             dead = done | (t0 + k * step > t_stop)
             return k + _skip_hop(
-                k, dead, rays, t0, t_stop, step, win_flat, nb, blockf, 0.5
+                k, dead, rays, t0, step, win_flat, nb, blockf, 0.5
             )
 
     init = dict(it=jnp.zeros((), jnp.int32), k=jnp.zeros((B, P), jnp.float32),

@@ -112,7 +112,7 @@ class Trainer:
         return fn(gen_state, disc_state, batch, rng, vgg_params, precomp)
 
     def step_many(self, gen_state, disc_state, batches, rngs, flags: StepFlags,
-                  precomps=None):
+                  precomps=None, donate: bool = True):
         """Run K consecutive train steps inside ONE jitted lax.scan.
 
         ``batches`` (and ``precomps``, if given) are pytrees with a leading
@@ -125,8 +125,12 @@ class Trainer:
         TPU (CLAUDE.md) — a meaningful fraction of the 0.57 s full step — and
         sub-ms on directly-attached chips; batching K steps per dispatch
         amortizes it. The curriculum ``flags`` are static for the window, so
-        the host loop flushes windows at curriculum boundaries."""
-        key = ("many", flags, precomps is not None)
+        the host loop flushes windows at curriculum boundaries.
+
+        ``donate=False``: same XLA:CPU donation-deadlock escape hatch as
+        :meth:`step` — large sharded state buffers + donation hang a
+        virtual-CPU mesh in an all-reduce rendezvous."""
+        key = ("many", flags, precomps is not None, donate)
         fn = self._jitted.get(key)
         if fn is None:
 
@@ -142,7 +146,10 @@ class Trainer:
                 )
                 return g, d, ms
 
-            fn = jax.jit(many, donate_argnums=(0, 1) if flags.train else ())
+            fn = jax.jit(
+                many,
+                donate_argnums=(0, 1) if (flags.train and donate) else (),
+            )
             self._jitted[key] = fn
         vgg_params = self.vgg[1] if self.vgg is not None else None
         return fn(gen_state, disc_state, batches, rngs, vgg_params, precomps)
