@@ -221,6 +221,7 @@ def bench_scene(args, quiet=False):
         pallas_conv=getattr(args, "pallas_conv", False),
         fused_conv=getattr(args, "fused_conv", False),
         folded_conv=getattr(args, "folded_conv", False),
+        zslab_conv=getattr(args, "zslab_conv", False),
     )
     gen = make_generator(cfg)
     gs, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
@@ -257,6 +258,7 @@ def bench_scene(args, quiet=False):
                   "window_batch": args.window_batch, "bf16": bf16,
                   "scan_windows": getattr(args, "scan_windows", False),
                   "folded_conv": cfg.folded_conv,
+                  "zslab_conv": cfg.zslab_conv,
                   "fused_conv": cfg.fused_conv,
                   "pallas_conv": cfg.pallas_conv},
     }
@@ -294,6 +296,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         pallas_conv=getattr(args, "pallas_conv", False),
         fused_conv=getattr(args, "fused_conv", False),
         folded_conv=getattr(args, "folded_conv", False),
+        zslab_conv=getattr(args, "zslab_conv", False),
         compact_resid=getattr(args, "compact_resid", False),
         remat=remat,
         **({"fuse_raycast": False} if getattr(args, "unfuse", False)
@@ -411,6 +414,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
             "pallas_conv": cfg.pallas_conv,
             "fused_conv": cfg.fused_conv,
             "folded_conv": cfg.folded_conv,
+            "zslab_conv": cfg.zslab_conv,
             "compact_resid": cfg.compact_resid,
             "cached_renders": precomp is not None,
             "straggler_frac": cfg.straggler_frac,
@@ -479,6 +483,16 @@ _AB_TRAIN = [
                          "compact_global": True}),
     ("b8_resid_folded", {"batch_size": 8, "compact_resid": True,
                          "folded_conv": True}),
+    # round-4 session-2 additions: the z-slab conv formulation (the
+    # conv_probe winner, 15.17 vs 2.35 eff TFLOP/s) alone and composed
+    # with the measured march/dispatch wins
+    ("zslab", {"zslab_conv": True}),
+    ("zslab+spc4", {"zslab_conv": True, "steps_per_call": 4, "steps": 3}),
+    ("zslab+pair+global+spc4", {"zslab_conv": True, "pair": True,
+                                "compact_global": True,
+                                "steps_per_call": 4, "steps": 3}),
+    ("b8_resid_zslab", {"batch_size": 8, "compact_resid": True,
+                        "zslab_conv": True}),
 ]
 _AB_SCENE = [
     ("baseline", {}),
@@ -486,6 +500,9 @@ _AB_SCENE = [
     ("folded", {"folded_conv": True}),
     ("folded+scan", {"folded_conv": True, "scan_windows": True}),
     ("folded_wb16", {"folded_conv": True, "window_batch": 16}),
+    ("zslab+scan", {"zslab_conv": True, "scan_windows": True}),
+    ("zslab+scan_wb16", {"zslab_conv": True, "scan_windows": True,
+                         "window_batch": 16}),
 ]
 
 
@@ -612,6 +629,11 @@ def main():
                    help="output-folded matmul formulation for 3x3x3 stride-1 "
                    "generator convs (gy*gx output pixels per MXU row — the "
                    "nf=20 lane-ceiling fix, ops/folded_conv.py)")
+    p.add_argument("--zslab_conv", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="z-slab rank-4 formulation for every generator conv "
+                   "(kz taps fold into channels; 6.4x over the rank-5 conv "
+                   "lowering in tools/conv_probe.py — ops/zslab_conv.py)")
     p.add_argument("--compact_resid", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="compact lane-aligned generator residuals (~4x lower "

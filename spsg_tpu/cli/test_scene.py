@@ -41,6 +41,8 @@ def build_parser():
     p.add_argument("--max_input_height", type=int, default=128)
     p.add_argument("--compute_dtype", type=str, default="",
                    help="'bfloat16' runs the generator convs in bf16")
+    p.add_argument("--zslab_conv", action="store_true",
+                   help="z-slab rank-4 conv formulation (ops/zslab_conv.py)")
     p.add_argument("--folded_conv", action="store_true",
                    help="output-folded conv matmuls (ops/folded_conv.py)")
     p.add_argument("--num_to_vis", type=int, default=10)
@@ -148,6 +150,7 @@ def main(argv=None):
         weight_disc_loss=0.0,
         compute_dtype=args.compute_dtype or None,
         folded_conv=args.folded_conv,
+        zslab_conv=args.zslab_conv,
     )
     generator = make_generator(cfg)
     gen_state, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)

@@ -62,6 +62,8 @@ def build_parser():
                    help="'bfloat16' runs the generator convs in bf16 "
                    "(MXU-friendly; bf16-vs-f32 IoU parity verified in "
                    "training, docs/DESIGN.md)")
+    p.add_argument("--zslab_conv", action="store_true",
+                   help="z-slab rank-4 conv formulation (ops/zslab_conv.py)")
     p.add_argument("--folded_conv", action="store_true",
                    help="output-folded conv matmuls (ops/folded_conv.py) — "
                    "whole-scene inference is forward/conv-bound")
@@ -92,6 +94,7 @@ def main(argv=None):
         weight_disc_loss=0.0,
         compute_dtype=args.compute_dtype or None,
         folded_conv=args.folded_conv,
+        zslab_conv=args.zslab_conv,
     )
     generator = make_generator(cfg)
     gen_state, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)

@@ -168,6 +168,40 @@ class _ConvFolded(nn.Module):
         return y + bias.astype(y.dtype)
 
 
+class _ConvZslab(nn.Module):
+    """Any-shape conv via the z-slab rank-4 formulation
+    (ops/zslab_conv.py): kz kernel taps fold into the channel dim and the
+    whole layer runs as ONE 2D conv with batch B*Zo — XLA's rank-4 conv
+    path measured 15.17 effective TFLOP/s fwd+bwd vs 2.35 for the rank-5
+    lowering at the generator's operating point (tools/conv_probe.py,
+    docs/evidence/bench_r4/conv_probe.log). nn.Conv-identical parameters."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[int, int, int] = (1, 1, 1)
+    dilation: Tuple[int, int, int] = (1, 1, 1)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.zslab_conv import conv3d_zslab
+
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kernel_init(),
+            self.kernel_size + (in_ch, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        # match nn.Conv's dtype=None promotion (see _ConvChannelsFirst)
+        cdt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        y = conv3d_zslab(
+            x.astype(cdt), kernel.astype(cdt),
+            self.strides, self.padding, self.dilation,
+        )
+        return y + bias.astype(y.dtype)
+
+
 class _ConvPallasFused(nn.Module):
     """Fused 3x3x3 conv + bias + LeakyReLU(0.2) + BN batch statistics via
     ops/pallas_conv.conv3x3_act_stats, with nn.Conv-identical parameters.
@@ -250,6 +284,7 @@ class ConvBlock(nn.Module):
     pallas_conv: bool = False
     fused_conv: bool = False
     folded_conv: bool = False
+    zslab_conv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -277,6 +312,10 @@ class ConvBlock(nn.Module):
                 momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="BatchNorm_0"
             )(y, s, ss, n, use_running_average=not train)
         use_pallas = self.pallas_conv and eligible
+        # zslab eligibility is universal for NDHWC (any kernel/stride/
+        # dilation); explicit pallas/fused requests keep precedence on
+        # their eligible subset
+        use_zslab = self.zslab_conv and not self.channels_first and not use_pallas
         # folded eligibility is wider than Pallas': any odd SAME kernel
         # (the 5x5x5 full-res geo_0a/encoder_0a are the worst lane-fill
         # offenders: 125*C taps onto 10/20 of 128 lanes)
@@ -284,6 +323,7 @@ class ConvBlock(nn.Module):
         if (
             self.folded_conv
             and not use_pallas
+            and not use_zslab
             and not self.channels_first
             and self.stride == 1
             and self.dilation == 1
@@ -298,6 +338,16 @@ class ConvBlock(nn.Module):
             )
         if use_pallas:
             x = _ConvPallas(self.features, dtype=self.dtype, name="Conv_0")(x)
+        elif use_zslab:
+            x = _ConvZslab(
+                self.features,
+                kernel_size=self.kernel,
+                strides=(self.stride,) * 3,
+                padding=(self.padding,) * 3,
+                dilation=(self.dilation,) * 3,
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x)
         elif fold != (1, 1):
             x = _ConvFolded(
                 self.features, fold=fold, kernel_size=self.kernel,
@@ -380,6 +430,12 @@ class GeneratorConfig:
     # lane dim to gy*gx*features — the space-to-depth answer to the nf=20
     # conv ceiling (20/128 lanes filled). Parameters identical to nn.Conv.
     folded_conv: bool = False
+    # compute EVERY conv as a z-slab rank-4 conv (ops/zslab_conv.py): the
+    # kz kernel taps fold into the channel dim and the layer runs as one
+    # 2D conv with batch B*Zo — XLA's rank-4 path measured 6.4x faster
+    # fwd+bwd than its rank-5 lowering at the generator's operating point
+    # (tools/conv_probe.py). Parameters identical to nn.Conv.
+    zslab_conv: bool = False
     # rematerialize activations in the backward pass (jax.checkpoint per
     # conv block): trades ~30% more FLOPs for large activation-memory savings
     # — enables bigger batches on one chip
@@ -420,6 +476,8 @@ class Generator(nn.Module):
             Block = functools.partial(Block, fused_conv=True)
         if cfg.folded_conv:
             Block = functools.partial(Block, folded_conv=True)
+        if cfg.zslab_conv:
+            Block = functools.partial(Block, zslab_conv=True)
         # layout helpers: preprocessing stays channel-last (cheap elementwise);
         # branches run in the configured layout; outputs return channel-last
         chax = 1 if cf else -1

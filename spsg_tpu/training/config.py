@@ -88,6 +88,11 @@ class TrainConfig:
     # (ops/folded_conv.py): a (gy, gx) output-pixel block per MXU row widens
     # the matmul lane dim to gy*gx*features (the nf=20 conv-ceiling fix)
     folded_conv: bool = False
+    # z-slab rank-4 formulation for EVERY generator conv
+    # (ops/zslab_conv.py): kz kernel taps fold into the channel dim; XLA's
+    # 2D conv path measured 6.4x faster fwd+bwd than its rank-5 lowering
+    # (tools/conv_probe.py, v5e)
+    zslab_conv: bool = False
     # save only lane-aligned COMPACT conv outputs as generator backward
     # residuals (jax.checkpoint policy over the tags in models/generator.py):
     # on TPU every conv activation is otherwise stored padded to the 128-lane

@@ -45,6 +45,7 @@ def make_generator(cfg: TrainConfig) -> Generator:
             pallas_conv=cfg.pallas_conv,
             fused_conv=cfg.fused_conv,
             folded_conv=cfg.folded_conv,
+            zslab_conv=cfg.zslab_conv,
             remat=cfg.remat,
         )
     )

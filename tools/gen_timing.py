@@ -27,6 +27,8 @@ def main():
     p.add_argument("--fused_conv", action="store_true",
                    help="fused conv+act+BN-stats Pallas block")
     p.add_argument("--pallas_conv", action="store_true")
+    p.add_argument("--zslab_conv", action="store_true",
+                   help="z-slab rank-4 conv formulation (ops/zslab_conv.py)")
     p.add_argument("--folded_conv", action="store_true",
                    help="output-folded conv matmuls (ops/folded_conv.py)")
     args = p.parse_args()
@@ -48,6 +50,7 @@ def main():
         fused_conv=args.fused_conv,
         pallas_conv=args.pallas_conv,
         folded_conv=args.folded_conv,
+        zslab_conv=args.zslab_conv,
     )
     gen = make_generator(cfg)
     gs, _ = init_states(cfg, jax.random.PRNGKey(0), with_disc=False)
