@@ -135,3 +135,39 @@ def test_sharded_step_many():
     assert ms["loss"].shape == (K,)
     assert np.isfinite(np.asarray(ms["loss"])).all()
     assert int(g.step) == K
+
+
+def test_sharded_full_step_zslab_conv():
+    """zslab_conv reshapes activations to (B*Zo, Y, X, kz*C) inside every
+    conv — under a batch-sharded mesh the merged leading dim must stay
+    data-parallel (B divisible by mesh size keeps the reshape local under
+    GSPMD). Full 2D+GAN step on a 4-device mesh: finite loss, finite
+    replicated params."""
+    n = 4
+    mesh = make_mesh(jax.devices()[:n])
+    cfg = TrainConfig(
+        input_dim=DIMS, nf_gen=4, nf_disc=4, batch_size=n,
+        style_width=48, style_height=32, patch_size=16,
+        max_depth_fill_iters=4, min_num_valid_2d=10,
+        zslab_conv=True,
+    )
+    gen_state, disc_state = init_states(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg)
+    batch = synthetic.make_chunk_batch(
+        batch_size=n, dims=DIMS, seed=11, with_frames=True,
+        image_dims=(cfg.style_width, cfg.style_height),
+    )
+    batch.pop("name", None)
+    batch["weight_occ"] = np.ones(())
+    batch = shard_batch(batch, mesh)
+    gen_state = replicate_state(gen_state, mesh)
+    disc_state = replicate_state(disc_state, mesh)
+    flags = StepFlags(
+        pred_sdf=True, pred_color=True, pred_semantic=True, use_2d=True, use_disc=True
+    )
+    g, d, metrics = trainer.step(
+        gen_state, disc_state, batch, jax.random.PRNGKey(1), flags
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    for leaf in jax.tree_util.tree_leaves(g.params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
