@@ -42,6 +42,21 @@ def _patches_from_slab(slab, Y, X, C):
 _VMEM_BUDGET = 10 * 1024 * 1024  # per-program footprint cap (tests override)
 
 
+def _pad_halo(x):
+    """Zero-pad the 1-voxel conv halo, then pad X up to a multiple of 8:
+    Mosaic requires HBM slices along the sublane-tiled (second-minor) dim
+    to be 8-aligned, and the per-program DMA implicitly slices the full
+    X+2 extent (measured failure: 'Slice shape along dimension 3 must be
+    aligned to tiling (8), but is 66', docs/evidence/bench_r4). The extra
+    columns are dead weight in the slab; the in-kernel patch slices never
+    read past X+2."""
+    X = x.shape[3]
+    x2 = -(-(X + 2) // 8) * 8
+    return jnp.pad(
+        x, ((0, 0), (1, 1), (1, 1), (1, x2 - X - 1), (0, 0))
+    ), x2
+
+
 def _pick_ystrip(Y, X, C, Cout, itemsize, budget=None):
     """Largest divisor of Y whose per-program VMEM footprint (slab + patch
     matrix + output strip + weights) fits the budget. At real shapes some
@@ -100,7 +115,7 @@ def _conv3x3_fwd_impl(x, w, interpret=False):
     """x (B,Z,Y,X,Cin), w (3,3,3,Cin,Cout) -> (B,Z,Y,X,Cout), pad 1."""
     B, Z, Y, X, C = x.shape
     Cout = w.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    xp, x2 = _pad_halo(x)
     # weights as the (27*Cin, Cout) patch-matmul matrix (tap-major like
     # _patches_from_slab)
     wm = w.reshape(27 * C, Cout).astype(x.dtype)
@@ -120,7 +135,7 @@ def _conv3x3_fwd_impl(x, w, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((B, Z, Y, X, Cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, ys + 2, X + 2, C), x.dtype),
+            pltpu.VMEM((3, ys + 2, x2, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -131,7 +146,7 @@ def _conv3x3_dw_impl(x, dy, interpret=False):
     """dW (3,3,3,Cin,Cout) = correlation of x with dy (both NDHWC)."""
     B, Z, Y, X, C = x.shape
     Cout = dy.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    xp, x2 = _pad_halo(x)
     ys = _pick_ystrip(Y, X, C, Cout, x.dtype.itemsize)
     kern = functools.partial(_dw_kernel, YS=ys, X=X, C=C)
     out = pl.pallas_call(
@@ -146,7 +161,7 @@ def _conv3x3_dw_impl(x, dy, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((27 * C, Cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, ys + 2, X + 2, C), x.dtype),
+            pltpu.VMEM((3, ys + 2, x2, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -241,7 +256,7 @@ def _conv3x3_act_stats_impl(x, w, b, interpret=False):
     (y_act (B,Z,Y,X,Cout), sum (Cout,), sumsq (Cout,)) — fp32 stats."""
     B, Z, Y, X, C = x.shape
     Cout = w.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    xp, x2 = _pad_halo(x)
     wm = w.reshape(27 * C, Cout).astype(x.dtype)
     ys = _pick_ystrip(Y, X, C, Cout, x.dtype.itemsize)
     kern = functools.partial(_fwd_act_stats_kernel, YS=ys, X=X, C=C, out_dtype=x.dtype)
@@ -265,7 +280,7 @@ def _conv3x3_act_stats_impl(x, w, b, interpret=False):
             jax.ShapeDtypeStruct((1, Cout), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, ys + 2, X + 2, C), x.dtype),
+            pltpu.VMEM((3, ys + 2, x2, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
