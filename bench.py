@@ -235,20 +235,29 @@ def bench_scene(args, quiet=False):
         scene.semantics, scene.known, scene.world2grid, 3.0, "lab", None,
     )
     _phase("scene inference warmup")
+    compact_feed = getattr(args, "compact_feed", False)
     kwargs = dict(
         truncation=3.0, chunk_dims=(128, 64, 64), stride=32,
         window_batch=args.window_batch,
         pred_color=True, pred_semantic=True,
         scan_windows=getattr(args, "scan_windows", False),
     )
-    chunked.run_chunked_inference(
-        gen, variables, sample["input"], sample["mask"], None, None, None, **kwargs
-    )
+    if compact_feed:
+        # raw-feed path: clamp/LAB/mask/pad run on device, ~4x less
+        # host->device traffic (inference/chunked.py compact_scene)
+        kwargs["compact_scene"] = dict(
+            sdf=scene.sdf_input.astype(np.float32),
+            colors=scene.input_colors, color_space="lab",
+        )
+        scene_args = (gen, variables, None, None, None, None, None)
+    else:
+        scene_args = (
+            gen, variables, sample["input"], sample["mask"], None, None, None,
+        )
+    chunked.run_chunked_inference(*scene_args, **kwargs)
     _phase("timing scene inference")
     t0 = time.perf_counter()
-    out = chunked.run_chunked_inference(
-        gen, variables, sample["input"], sample["mask"], None, None, None, **kwargs
-    )
+    out = chunked.run_chunked_inference(*scene_args, **kwargs)
     np.asarray(out.sdf)  # host-transfer fence (block_until_ready is unreliable here)
     dt = time.perf_counter() - t0
     n_vox = int(np.prod(out.sdf.shape))
@@ -259,6 +268,7 @@ def bench_scene(args, quiet=False):
         "vs_baseline": None,
         "extra": {"scene_dims": list(out.sdf.shape), "seconds": round(dt, 3),
                   "window_batch": args.window_batch, "bf16": bf16,
+                  "compact_feed": compact_feed,
                   "scan_windows": getattr(args, "scan_windows", False),
                   "folded_conv": cfg.folded_conv,
                   "zslab_conv": cfg.zslab_conv,
@@ -483,6 +493,7 @@ _AB_NEUTRAL_TRAIN = {
 _AB_NEUTRAL_SCENE = {
     "zslab_conv": False, "folded_conv": False, "fused_conv": False,
     "pallas_conv": False, "scan_windows": False, "window_batch": 8,
+    "compact_feed": False,
 }
 _AB_TRAIN = [
     ("baseline", {}),
@@ -520,6 +531,13 @@ _AB_SCENE = [
     ("zslab+scan", {"zslab_conv": True, "scan_windows": True}),
     ("zslab+scan_wb16", {"zslab_conv": True, "scan_windows": True,
                          "window_batch": 16}),
+    # round-4 session-3: compact device feed (host->device transfer is the
+    # suspected dominant cost of the scan-path scene step)
+    ("cfeed", {"compact_feed": True}),
+    ("zslab+scan+cfeed", {"zslab_conv": True, "scan_windows": True,
+                          "compact_feed": True}),
+    ("zslab+scan_wb16+cfeed", {"zslab_conv": True, "scan_windows": True,
+                               "window_batch": 16, "compact_feed": True}),
 ]
 
 
@@ -666,6 +684,10 @@ def main():
                    "batches (single dispatch) instead of a host loop")
     p.add_argument("--window_batch", type=int, default=8,
                    help="windows per device batch in --mode scene")
+    p.add_argument("--compact_feed", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="scene mode: feed raw f32-sdf + u8-rgb and assemble "
+                   "the sample on device (~4x less host->device traffic)")
     p.add_argument("--scene_dims", type=int, nargs=3, default=[128, 256, 320],
                    help="--mode scene volume (z y x); y/x must be >= the "
                    "64x64 window — shrink for CPU smoke runs only")

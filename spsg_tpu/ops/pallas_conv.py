@@ -31,9 +31,12 @@ _TAPS = [(dz, dy, dx) for dz in range(3) for dy in range(3) for dx in range(3)]
 
 
 def _patches_from_slab(slab, Y, X, C):
-    """(3, Y+2, X+2, C) slab -> (Y*X, 27*C) patch matrix (tap-major)."""
+    """(3, Y+2, X+2, >=C) slab -> (Y*X, 27*C) patch matrix (tap-major).
+
+    The slab's lane dim may be padded past C (Mosaic DMA alignment); only
+    the first C channels are real."""
     cols = [
-        slab[dz, dy:dy + Y, dx:dx + X, :].reshape(Y * X, C)
+        slab[dz, dy:dy + Y, dx:dx + X, :C].reshape(Y * X, C)
         for dz, dy, dx in _TAPS
     ]
     return jnp.concatenate(cols, axis=-1)
@@ -43,31 +46,41 @@ _VMEM_BUDGET = 10 * 1024 * 1024  # per-program footprint cap (tests override)
 
 
 def _pad_halo(x):
-    """Zero-pad the 1-voxel conv halo, then pad X up to a multiple of 8:
-    Mosaic requires HBM slices along the sublane-tiled (second-minor) dim
-    to be 8-aligned, and the per-program DMA implicitly slices the full
-    X+2 extent (measured failure: 'Slice shape along dimension 3 must be
-    aligned to tiling (8), but is 66', docs/evidence/bench_r4). The extra
-    columns are dead weight in the slab; the in-kernel patch slices never
-    read past X+2."""
-    X = x.shape[3]
+    """Zero-pad the 1-voxel conv halo, then pad X up to a multiple of 8 and
+    C up to a multiple of 128: Mosaic requires HBM slices along the
+    sublane-tiled (second-minor) dim to be 8-aligned and along the lane
+    (minor) dim to be 128-aligned, and the per-program DMA implicitly
+    slices the full X+2 and C extents (measured failures: 'Slice shape
+    along dimension 3 must be aligned to tiling (8), but is 66' and
+    'Slice shape along dimension 4 must be aligned to tiling (128), but is
+    20', docs/evidence/bench_r4). The lane padding costs no real HBM
+    bandwidth — XLA already stores the activation 128-lane padded
+    (tools/memcheck.py round-3 finding) — and the in-kernel patch slices
+    read only the first C lanes."""
+    X, C = x.shape[3], x.shape[4]
     x2 = -(-(X + 2) // 8) * 8
+    c2 = -(-C // 128) * 128
     return jnp.pad(
-        x, ((0, 0), (1, 1), (1, 1), (1, x2 - X - 1), (0, 0))
-    ), x2
+        x, ((0, 0), (1, 1), (1, 1), (1, x2 - X - 1), (0, c2 - C))
+    ), x2, c2
 
 
-def _pick_ystrip(Y, X, C, Cout, itemsize, budget=None):
+def _pick_ystrip(Y, X, C, Cout, itemsize, budget=None, c_pad=None):
     """Largest divisor of Y whose per-program VMEM footprint (slab + patch
     matrix + output strip + weights) fits the budget. At real shapes some
     generator layers reach C_in=80 at full 64x64 resolution — an unstripped
     (4096, 27*80) patch matrix alone would overflow the ~16 MB VMEM."""
     if budget is None:
         budget = _VMEM_BUDGET
+    if c_pad is None:
+        c_pad = C
     for ys in sorted({d for d in range(1, Y + 1) if Y % d == 0}, reverse=True):
-        slab = 3 * (ys + 2) * (X + 2) * C * itemsize
-        patches = ys * X * 27 * C * itemsize
-        out = ys * X * Cout * max(itemsize, 4)
+        slab = 3 * (ys + 2) * (X + 2) * c_pad * itemsize
+        # 2x: the 27 tap slices materialize as relayout copies before the
+        # concatenate (measured scoped-vmem OOM at the naive estimate:
+        # 22.2M actual vs 8.4M modeled, docs/evidence/bench_r4/pallas_repro)
+        patches = 2 * ys * X * 27 * C * itemsize
+        out = ys * X * Cout * (itemsize + 4)  # stored block + f32 dot result
         w = 27 * C * Cout * itemsize
         if slab + patches + out + w <= budget:
             return ys
@@ -115,11 +128,11 @@ def _conv3x3_fwd_impl(x, w, interpret=False):
     """x (B,Z,Y,X,Cin), w (3,3,3,Cin,Cout) -> (B,Z,Y,X,Cout), pad 1."""
     B, Z, Y, X, C = x.shape
     Cout = w.shape[-1]
-    xp, x2 = _pad_halo(x)
+    xp, x2, c2 = _pad_halo(x)
     # weights as the (27*Cin, Cout) patch-matmul matrix (tap-major like
     # _patches_from_slab)
     wm = w.reshape(27 * C, Cout).astype(x.dtype)
-    ys = _pick_ystrip(Y, X, C, Cout, x.dtype.itemsize)
+    ys = _pick_ystrip(Y, X, C, Cout, x.dtype.itemsize, c_pad=c2)
     kern = functools.partial(_fwd_kernel, YS=ys, X=X, C=C, out_dtype=x.dtype)
     return pl.pallas_call(
         kern,
@@ -135,7 +148,7 @@ def _conv3x3_fwd_impl(x, w, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((B, Z, Y, X, Cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, ys + 2, x2, C), x.dtype),
+            pltpu.VMEM((3, ys + 2, x2, c2), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -146,8 +159,8 @@ def _conv3x3_dw_impl(x, dy, interpret=False):
     """dW (3,3,3,Cin,Cout) = correlation of x with dy (both NDHWC)."""
     B, Z, Y, X, C = x.shape
     Cout = dy.shape[-1]
-    xp, x2 = _pad_halo(x)
-    ys = _pick_ystrip(Y, X, C, Cout, x.dtype.itemsize)
+    xp, x2, c2 = _pad_halo(x)
+    ys = _pick_ystrip(Y, X, C, Cout, x.dtype.itemsize, c_pad=c2)
     kern = functools.partial(_dw_kernel, YS=ys, X=X, C=C)
     out = pl.pallas_call(
         kern,
@@ -161,7 +174,7 @@ def _conv3x3_dw_impl(x, dy, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((27 * C, Cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, ys + 2, x2, C), x.dtype),
+            pltpu.VMEM((3, ys + 2, x2, c2), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -256,9 +269,9 @@ def _conv3x3_act_stats_impl(x, w, b, interpret=False):
     (y_act (B,Z,Y,X,Cout), sum (Cout,), sumsq (Cout,)) — fp32 stats."""
     B, Z, Y, X, C = x.shape
     Cout = w.shape[-1]
-    xp, x2 = _pad_halo(x)
+    xp, x2, c2 = _pad_halo(x)
     wm = w.reshape(27 * C, Cout).astype(x.dtype)
-    ys = _pick_ystrip(Y, X, C, Cout, x.dtype.itemsize)
+    ys = _pick_ystrip(Y, X, C, Cout, x.dtype.itemsize, c_pad=c2)
     kern = functools.partial(_fwd_act_stats_kernel, YS=ys, X=X, C=C, out_dtype=x.dtype)
     y, s, ss = pl.pallas_call(
         kern,
@@ -280,7 +293,7 @@ def _conv3x3_act_stats_impl(x, w, b, interpret=False):
             jax.ShapeDtypeStruct((1, Cout), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, ys + 2, x2, C), x.dtype),
+            pltpu.VMEM((3, ys + 2, x2, c2), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -162,3 +162,46 @@ def test_scan_windows_matches_loop():
         out_a.geo_intersection, out_b.geo_intersection, rtol=0.02, atol=3
     )
     np.testing.assert_allclose(out_a.geo_union, out_b.geo_union, rtol=0.02, atol=3)
+
+
+def test_compact_feed_matches_host_assembly():
+    """compact_scene (device-side clamp/LAB/mask/pad) must reproduce the
+    host assemble_sample path: identical stitched coverage, near-identical
+    SDF, and colors within LAB float tolerance."""
+    cfg, gen, variables = _setup()
+    dims = (16, 40, 48)
+    s = synthetic.make_scene(dims=dims, seed=5)
+    sample = pipeline.assemble_sample(
+        s.sdf_input, s.sdf_complete, s.input_colors, s.colors, s.semantics,
+        s.known, s.world2grid, 3.0, "lab", None,
+    )
+    kwargs = dict(chunk_dims=CHUNK, stride=8, pad=2, max_height=CHUNK[0],
+                  window_batch=4)
+    ref = chunked.run_chunked_inference(
+        gen, variables, sample["input"], sample["mask"], None, None, None,
+        **kwargs,
+    )
+    got = chunked.run_chunked_inference(
+        gen, variables, None, None, None, None, None,
+        compact_scene=dict(sdf=s.sdf_input.astype(np.float32),
+                           colors=s.input_colors, color_space="lab"),
+        **kwargs,
+    )
+    # coverage may flip only on sigmoid-boundary voxels of the untrained
+    # model; everything decidedly covered must agree
+    agree = ref.counts == got.counts
+    assert agree.mean() > 0.999
+    both = (ref.counts > 0) & (got.counts > 0) & agree
+    np.testing.assert_allclose(got.sdf[both], ref.sdf[both], atol=1e-4)
+    assert np.abs(
+        got.colors[both].astype(np.int32) - ref.colors[both].astype(np.int32)
+    ).max() <= 1  # u8 after device-vs-host LAB encoding
+
+    # scan path composes with the compact feed
+    got2 = chunked.run_chunked_inference(
+        gen, variables, None, None, None, None, None,
+        compact_scene=dict(sdf=s.sdf_input.astype(np.float32),
+                           colors=s.input_colors, color_space="lab"),
+        scan_windows=True, **kwargs,
+    )
+    assert (got2.counts == got.counts).mean() > 0.999

@@ -185,6 +185,9 @@ def main():
             }
         except Exception as e:
             results[name] = {"error": str(e)[:300]}
+            # the mosaic diagnostic lives thousands of chars in — keep it all
+            print(f"=== full error for {name} ===\n{e}\n=== end ===",
+                  file=sys.stderr, flush=True)
         print(json.dumps({name: results[name]}), file=sys.stderr, flush=True)
 
     # numeric cross-check at a tolerance (different accumulation orders)
