@@ -521,6 +521,15 @@ _AB_TRAIN = [
                                 "steps_per_call": 4, "steps": 3}),
     ("b8_resid_zslab", {"batch_size": 8, "compact_resid": True,
                         "zslab_conv": True}),
+    # round-4 session-3: B=8 scaling triage. Measured so far: b8_resid_global
+    # 3.61 (2.215 s) vs b8_resid_zslab 2.95 (2.716 s) — global compaction is
+    # the B=8 lever and zslab HURTS at B=8; probe the cross terms.
+    ("b8_resid_zslab_global", {"batch_size": 8, "compact_resid": True,
+                               "zslab_conv": True, "compact_global": True}),
+    ("b8_resid_global_pair", {"batch_size": 8, "compact_resid": True,
+                              "compact_global": True, "pair": True}),
+    ("b4_resid_zslab_global", {"batch_size": 4, "compact_resid": True,
+                               "zslab_conv": True, "compact_global": True}),
 ]
 _AB_SCENE = [
     ("baseline", {}),

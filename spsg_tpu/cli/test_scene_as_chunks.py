@@ -58,6 +58,10 @@ def build_parser():
     p.add_argument("--scan_windows", action="store_true",
                    help="run all window batches in one jitted lax.scan "
                    "(single device dispatch per scene)")
+    p.add_argument("--compact_feed", action="store_true",
+                   help="feed raw f32-sdf + u8-rgb to the device and run "
+                   "clamp/LAB/mask on-chip (~4x less host->device traffic "
+                   "per scene); incompatible with --augment_rgb_scaling")
     p.add_argument("--compute_dtype", type=str, default="",
                    help="'bfloat16' runs the generator convs in bf16 "
                    "(MXU-friendly; bf16-vs-f32 IoU parity verified in "
@@ -73,6 +77,11 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.compact_feed and args.augment_rgb_scaling:
+        raise SystemExit(
+            "--compact_feed assembles the sample on device and does not "
+            "implement hue augmentation; drop --augment_rgb_scaling"
+        )
     import jax
 
     from ..data import category
@@ -121,6 +130,9 @@ def main(argv=None):
                     args.color_space, None,
                 )
                 sample["name"] = f"synthetic_scene_{i}"
+                if args.compact_feed:
+                    sample["raw_sdf_input"] = s.sdf_input.astype(np.float32)
+                    sample["raw_input_colors"] = s.input_colors
                 yield sample
 
         num_scenes = args.synthetic_scenes
@@ -140,6 +152,7 @@ def main(argv=None):
             color_truncation=args.color_truncation,
             augment_hue=args.augment_rgb_scaling,
             aug_scale_range=(args.augment_scale_min, args.augment_scale_max),
+            keep_raw=args.compact_feed,
         )
 
         def _iter_scenes():
@@ -160,14 +173,22 @@ def main(argv=None):
     num_vis = 0
     for si, sample in enumerate(_iter_scenes()):
         print(f"[ {si} | {num_scenes} ] {sample['name']} {sample['input'].shape}")
+        compact = None
+        if args.compact_feed:
+            compact = dict(
+                sdf=sample["raw_sdf_input"],
+                colors=sample["raw_input_colors"],
+                color_space=args.color_space,
+            )
         out = chunked.run_chunked_inference(
             generator,
             variables,
-            sample["input"],
-            sample["mask"],
+            None if compact is not None else sample["input"],
+            None if compact is not None else sample["mask"],
             sample["target_sdf"],
             sample.get("known"),
             sample.get("semantics"),
+            compact_scene=compact,
             truncation=args.truncation,
             chunk_dims=chunk_dims,
             stride=args.stride,

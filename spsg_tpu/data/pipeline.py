@@ -501,7 +501,13 @@ class SceneDataset:
         augment_hue: bool = False,
         aug_scale_range=(0.5, 1.5),
         seed: int = 0,
+        keep_raw: bool = False,
     ):
+        # keep_raw: also return the pre-assembly raw input grids (f32 sdf +
+        # u8 rgb) so eval can feed them to the device directly and run
+        # clamp/LAB/mask on-chip (inference/chunked.py compact_scene) — ~4x
+        # less host->device traffic per scene
+        self.keep_raw = keep_raw
         self.pairs = [
             (f, os.path.join(target_path, os.path.basename(f)))
             for f in files
@@ -587,6 +593,9 @@ class SceneDataset:
             augment_hue_scale=scale,
         )
         sample["name"] = name
+        if self.keep_raw:
+            sample["raw_sdf_input"] = sdf_input.astype(np.float32)
+            sample["raw_input_colors"] = input_colors
         return sample
 
 
