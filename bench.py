@@ -256,10 +256,16 @@ def bench_scene(args, quiet=False):
         )
     chunked.run_chunked_inference(*scene_args, **kwargs)
     _phase("timing scene inference")
+    profile_dir = getattr(args, "profile_dir", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     out = chunked.run_chunked_inference(*scene_args, **kwargs)
     np.asarray(out.sdf)  # host-transfer fence (block_until_ready is unreliable here)
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        _phase(f"trace written to {profile_dir}")
     n_vox = int(np.prod(out.sdf.shape))
     result = {
         "metric": "scene_inference_voxels_per_sec",
@@ -319,6 +325,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
         **({"coarse_hops": args.hops} if getattr(args, "hops", 0) else {}),
         pair_raycast=getattr(args, "pair", False),
         compact_across_batch=getattr(args, "compact_global", False),
+        march_group=getattr(args, "march_group", 0),
     )
     _phase(f"building synthetic batch (dims={dims}, B={batch_size})")
     batch = synthetic.make_chunk_batch(
@@ -431,6 +438,7 @@ def bench_train(args, batch_size=None, bf16=None, remat=None, quiet=False):
             "compact_resid": cfg.compact_resid,
             "cached_renders": precomp is not None,
             "straggler_frac": cfg.straggler_frac,
+            "march_group": cfg.march_group,
             "steps_per_call": spc,
             "mode": args.mode,
             "device": str(jax.devices()[0]),
@@ -488,7 +496,7 @@ _AB_NEUTRAL_TRAIN = {
     "zslab_conv": False, "folded_conv": False, "fused_conv": False,
     "pallas_conv": False, "pair": False, "compact_global": False,
     "steps_per_call": 1, "steps": 5, "compact_resid": False,
-    "batch_size": 2,
+    "batch_size": 2, "march_group": 0,
 }
 _AB_NEUTRAL_SCENE = {
     "zslab_conv": False, "folded_conv": False, "fused_conv": False,
@@ -530,6 +538,18 @@ _AB_TRAIN = [
                               "compact_global": True, "pair": True}),
     ("b4_resid_zslab_global", {"batch_size": 4, "compact_resid": True,
                                "zslab_conv": True, "compact_global": True}),
+    # round-5: batch-grouped march (VMEM-resident gather tables per group;
+    # the B=8 ungrouped march costs ~2.5x more per gather row than B=2)
+    ("b8_resid_global_mg2", {"batch_size": 8, "compact_resid": True,
+                             "compact_global": True, "march_group": 2}),
+    ("b8_resid_zslab_global_mg2", {"batch_size": 8, "compact_resid": True,
+                                   "zslab_conv": True, "compact_global": True,
+                                   "march_group": 2}),
+    ("b8_resid_global_mg4", {"batch_size": 8, "compact_resid": True,
+                             "compact_global": True, "march_group": 4}),
+    ("b4_resid_zslab_global_mg2", {"batch_size": 4, "compact_resid": True,
+                                   "zslab_conv": True, "compact_global": True,
+                                   "march_group": 2}),
 ]
 _AB_SCENE = [
     ("baseline", {}),
@@ -653,6 +673,11 @@ def main():
                    "(respects --mode; one stderr row per variant)")
     p.add_argument("--only_ab", default="",
                    help="comma-separated subset of --ab variant names")
+    p.add_argument("--march_group", type=int, default=0,
+                   help="march/shade the batch in sequential groups of this "
+                   "many samples (shrinks the per-pass gather working set — "
+                   "the packed-cell table is 32 MB/sample and TPU gather "
+                   "rows cost ~2.5x more at B=8 than B=2; 0 = whole batch)")
     p.add_argument("--march_block", type=int, default=0,
                    help="override march fine-block size (0 = config default)")
     p.add_argument("--hops", type=int, default=0,

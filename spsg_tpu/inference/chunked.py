@@ -24,6 +24,39 @@ import numpy as np
 from ..data import category, colorspace
 
 
+def _prep_compact_scene(sdf, rgb, truncation, lab, zyx, pads):
+    """Device-side compact-scene assembly: pipeline.assemble_sample math
+    (scene_dataloader.py:222-253) + the reference pad fill values
+    (test_scene_as_chunks.py:166-180). Module-level and jitted ONCE so
+    repeated run_chunked_inference calls over same-shaped scenes reuse one
+    executable instead of retracing per call (ADVICE r4); the scalar config
+    rides in as hashable static kwargs.
+    """
+    Z, Y, X = zyx
+    pad_z, pad_y, pad_x = pads
+    empty = jnp.abs(sdf) > truncation
+    m = ((sdf <= -1) & ~empty).astype(jnp.float32)
+    col = rgb.astype(jnp.float32) / 255.0
+    if lab:
+        col = colorspace.rgb_to_lab01(col, xp=jnp)
+    col = jnp.where(empty[..., None], 0.0, col)
+    sin = jnp.concatenate(
+        [jnp.clip(sdf, -truncation, truncation)[..., None], col], -1
+    )
+    sin = jnp.pad(sin, ((0, pad_z), (0, pad_y), (0, pad_x), (0, 0)))
+    fill = jnp.float32(-truncation)
+    sin = sin.at[Z:, :, :, 0].set(fill)
+    sin = sin.at[:, Y:, :, 0].set(fill)
+    sin = sin.at[:, :, X:, 0].set(fill)
+    mp = jnp.pad(m[..., None], ((0, pad_z), (0, pad_y), (0, pad_x), (0, 0)))
+    return sin, mp
+
+
+_prep_compact_scene = jax.jit(
+    _prep_compact_scene, static_argnames=("truncation", "lab", "zyx", "pads")
+)
+
+
 @dataclasses.dataclass
 class SceneOutputs:
     sdf: np.ndarray  # (Z, Y, X) stitched, -inf where no prediction
@@ -88,6 +121,17 @@ def run_chunked_inference(
     if compact_scene is not None:
         raw_sdf = compact_scene["sdf"]
         raw_rgb = compact_scene["colors"]
+        # Fail loudly on dtype mistakes: jnp.asarray(float_rgb, uint8) would
+        # silently truncate instead of dividing by 255 (ADVICE r4).
+        if raw_rgb.dtype != np.uint8:
+            raise TypeError(
+                "compact_scene['colors'] must be uint8 in [0,255], got "
+                f"{raw_rgb.dtype}"
+            )
+        if not np.issubdtype(raw_sdf.dtype, np.floating):
+            raise TypeError(
+                f"compact_scene['sdf'] must be floating, got {raw_sdf.dtype}"
+            )
         scene_zyx = raw_sdf.shape[:3]
     else:
         scene_zyx = scene_input.shape[:3]
@@ -191,30 +235,13 @@ def run_chunked_inference(
         # (test_scene_as_chunks.py:166-180), jitted, fed only the compact raw
         # arrays (f32 sdf + u8 rgb ~= a quarter of the assembled f32 tensors)
         lab = compact_scene.get("color_space", "lab") == "lab"
-
-        def prep(sdf, rgb):
-            empty = jnp.abs(sdf) > truncation
-            m = ((sdf <= -1) & ~empty).astype(jnp.float32)
-            col = rgb.astype(jnp.float32) / 255.0
-            if lab:
-                col = colorspace.rgb_to_lab01(col, xp=jnp)
-            col = jnp.where(empty[..., None], 0.0, col)
-            sin = jnp.concatenate(
-                [jnp.clip(sdf, -truncation, truncation)[..., None], col], -1
-            )
-            sin = jnp.pad(sin, ((0, pad_z), (0, pad_y), (0, pad_x), (0, 0)))
-            fill = jnp.float32(-truncation)
-            sin = sin.at[Z:, :, :, 0].set(fill)
-            sin = sin.at[:, Y:, :, 0].set(fill)
-            sin = sin.at[:, :, X:, 0].set(fill)
-            mp = jnp.pad(
-                m[..., None], ((0, pad_z), (0, pad_y), (0, pad_x), (0, 0))
-            )
-            return sin, mp
-
-        scene_in_dev, scene_mask_dev = jax.jit(prep)(
+        scene_in_dev, scene_mask_dev = _prep_compact_scene(
             jnp.asarray(np.ascontiguousarray(raw_sdf), jnp.float32),
-            jnp.asarray(np.ascontiguousarray(raw_rgb), jnp.uint8),
+            jnp.asarray(np.ascontiguousarray(raw_rgb)),
+            truncation=float(truncation),
+            lab=lab,
+            zyx=(int(Z), int(Y), int(X)),
+            pads=(int(pad_z), int(pad_y), int(pad_x)),
         )
     else:
         scene_in_pad = np.pad(

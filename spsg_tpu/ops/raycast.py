@@ -96,6 +96,20 @@ class RaycastConfig:
     # cell/window volumes. Sample positions are unchanged, so results stay
     # BIT-IDENTICAL (tests/test_raycast.py::test_global_compaction_bit_identical).
     compact_across_batch: bool = False
+    # March (and shade/scatter) the batch in sequential groups of this many
+    # samples (0 = whole batch at once). Rationale (round-5 traces): the TPU
+    # gather unit is per-row latency-bound AND locality-sensitive
+    # (docs/DESIGN.md §2); the march's packed-cell table is (B, Z*Y*X, 8)
+    # f32 = 32 MB per flagship sample, and the per-row cost rises ~2.5x when
+    # the gathered working set grows from 2 to 8 samples (B=2 phase-1 march
+    # 115 ms/step vs B=8 1135 ms/step — 10x for 4x the rays). lax.map over
+    # groups of batch_group samples marches each group against its own small
+    # table; per-ray sample positions are the same lattice expression, so
+    # the DECISIONS (hit, hit_idx) stay bit-identical to the ungrouped
+    # march; alpha/depth drift by a few ulps (<=2e-5 abs) because XLA makes
+    # different fma/fusion choices inside the lax.map body
+    # (tests/test_raycast.py::test_batch_group_equivalent).
+    batch_group: int = 0
 
     def __post_init__(self):
         # frac >= 1 would silently disable compaction (cap == P); catch the
@@ -359,6 +373,34 @@ def _skip_hop(k, dead, rays, t0, step, win_flat, nb, blockf, shift, widx_offset=
     return jnp.sum(run, axis=-1).astype(jnp.float32)
 
 
+def _grouped(cfg: RaycastConfig, B: int) -> int:
+    """Group size to use for a batch of B (0 = run the whole batch at once).
+    Groups only when they divide B evenly — a ragged tail would need a
+    second program."""
+    G = cfg.batch_group
+    if G and 0 < G < B and B % G == 0:
+        return G
+    return 0
+
+
+def _map_batch_groups(fn, G: int, *arrays):
+    """Run ``fn`` over sequential groups of G samples via lax.map (scan —
+    guarantees the groups execute one after another so each group's HBM
+    gather working set stays small and row-locality high) and re-concatenate
+    along batch. Leaves whose leading axis isn't the batch (e.g. scalar trip
+    counts) are reduced with max by the caller."""
+    B = arrays[0].shape[0]
+    n = B // G
+    stacked = tuple(a.reshape((n, G) + a.shape[1:]) for a in arrays)
+    out = jax.lax.map(lambda xs: fn(*xs), stacked)
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((B,) + o.shape[2:])
+        if o.ndim >= 2 and o.shape[:2] == (n, G)
+        else o,
+        out,
+    )
+
+
 def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
     """Non-differentiable surface search. Returns a dict with per-pixel:
     hit (B,P) bool, alpha (B,P) ray length, hit voxel flat index (B,P) int32.
@@ -379,6 +421,15 @@ def find_surface_crossings(sdf, valid, view, intrinsics, cfg: RaycastConfig):
     every ray has either found its bracket or left the volume (per-ray AABB
     clipping of the *valid* region)."""
     B = sdf.shape[0]
+    G = _grouped(cfg, B)
+    if G:
+        sub = dataclasses.replace(cfg, batch_group=0)
+        out = _map_batch_groups(
+            lambda s, v, vw, it: find_surface_crossings(s, v, vw, it, sub),
+            G, sdf, valid, view, intrinsics,
+        )
+        out["n_iters"] = jnp.max(out["n_iters"])
+        return out
     dims = sdf.shape[1:4]
     P = cfg.width * cfg.height
     cells = build_march_cells(sdf, valid)
@@ -741,8 +792,32 @@ def shade_hits(
     fused multi-grid march can shade each grid independently — grids whose
     inputs are all stop-gradient then contribute NO backward scatter at all
     (the march itself is always stop-grad, reference autograd boundary
-    raycast_rgbd.py:37-43)."""
+    raycast_rgbd.py:37-43).
+
+    With ``cfg.batch_group`` the shade (and, through the lax.map transpose,
+    its backward scatter) runs in sequential batch groups: gathers and
+    scatter-adds are per-row latency-bound and locality-sensitive, and the
+    per-sample attribute tables / (n+1, 22) f32 scatter accumulator are
+    ~32-46 MB per flagship sample, so grouping keeps each pass's working
+    set small at B>2."""
     B = sdf.shape[0]
+    G = _grouped(cfg, B)
+    if G:
+        sub = dataclasses.replace(cfg, batch_group=0)
+        args = [sdf, color, normal, semantic]
+        have = [a is not None for a in args]
+        packed = tuple(a for a in args if a is not None)
+        nh = len(packed)
+
+        def run(*xs):
+            it = iter(xs[:nh])
+            s, c, nr, sm = (next(it) if h else None for h in have)
+            hits_g = dict(zip(("hit", "hit_idx", "depth"), xs[nh:]))
+            return shade_hits(s, c, nr, sm, hits_g, sub)
+
+        return _map_batch_groups(
+            run, G, *packed, hits["hit"], hits["hit_idx"], hits["depth"]
+        )
     dims = sdf.shape[1:4]
     n = int(np.prod(dims))
     zeros3 = jnp.zeros((B, n, 3), sdf.dtype)
@@ -814,6 +889,13 @@ def raycast_occ(
     Since only "was any sample occupied" matters (no prev chain), the skip is
     trivially exact."""
     B = occ.shape[0]
+    G = _grouped(cfg, B)
+    if G:
+        sub = dataclasses.replace(cfg, batch_group=0)
+        return _map_batch_groups(
+            lambda o, vw, it: raycast_occ(o, vw, it, sub),
+            G, occ, view, intrinsics,
+        )
     dims = occ.shape[1:4]
     Z, Y, X = dims
     P = cfg.width * cfg.height

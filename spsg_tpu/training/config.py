@@ -131,6 +131,13 @@ class TrainConfig:
     # bit-identical, helps at B>1 where per-row compaction waits for the
     # slowest row.
     compact_across_batch: bool = False
+    # march/shade the batch in sequential groups of this many samples
+    # (ops/raycast.py RaycastConfig.batch_group; 0 = whole batch at once).
+    # TPU gathers are locality-sensitive: the packed-cell table is 32 MB per
+    # flagship sample, and at B=8 ungrouped each gather row costs ~2.5x more
+    # than at B=2 (round-5 traces). Hit decisions are bit-identical; ray
+    # depths drift a few ulps (XLA fma choices differ inside lax.map).
+    march_group: int = 0
     # per-(chunk, frames) device-side LRU of the parameter-independent view
     # precomputation (input/target march hits + depth chain; the reference
     # recomputes them every step, train.py:563,590). Entries are a few MB of

@@ -69,6 +69,7 @@ def _raycast_cfg(cfg: TrainConfig) -> RaycastConfig:
         march_block=cfg.march_block,
         coarse_hops=cfg.coarse_hops,
         compact_across_batch=cfg.compact_across_batch,
+        batch_group=cfg.march_group,
     )
 
 

@@ -390,3 +390,86 @@ def test_global_compaction_bit_identical():
                 np.testing.assert_array_equal(
                     outs["global"][k], outs[ref_name][k], err_msg=f"{ref_name}:{k}"
                 )
+
+
+def test_batch_group_equivalent():
+    """batch_group marches the batch in sequential lax.map groups (round-5
+    gather-locality fix: the packed-cell table is 32 MB/sample and gather
+    rows cost ~2.5x more at B=8 than B=2, so B>2 marches group into B=2
+    sub-marches). Per-ray sample positions are the same lattice expression
+    either way, so the DECISIONS (hit mask, hit voxel index) must match the
+    ungrouped run bitwise; float outputs (alpha/depth, shaded images, the
+    backward scatter) may drift a few ulps because XLA picks different
+    fma/fusion inside the lax.map body — bound those tightly instead.
+    Exercised on a 4-row batch mixing scenes and cameras."""
+    import dataclasses
+
+    dims = (48, 48, 48)
+    s1, v1 = _blob_scene(dims, seed=5)
+    s2, v2 = _blob_scene(dims, seed=9)
+    s3, v3 = _plane_scene(dims, z0=25.0)
+    view_a, intr_a = _down_camera(dims, 44.0)
+    view_b, intr_b = _oblique_camera(dims)
+    sdf = jnp.asarray(np.stack([s1, s2, s3, s2]))
+    valid = jnp.asarray(np.stack([v1, v2, v3, v2]))
+    views = jnp.asarray(np.stack([view_a, view_b, view_a, view_a]))
+    intrs = jnp.asarray(np.stack([intr_a, intr_b, intr_a, intr_a]))
+    base = _cfg(depth_max=150.0)
+    B = 4
+    rng = np.random.RandomState(3)
+    color = jnp.asarray(rng.rand(B, *dims, 3).astype(np.float32))
+
+    def shaded_loss(s, c, cfg):
+        out = raycast.raycast(s, valid, c, None, None, views, intrs, cfg)
+        img = jnp.where(jnp.isfinite(out.color), out.color, 0.0)
+        dep = jnp.where(jnp.isfinite(out.depth), out.depth, 0.0)
+        return jnp.sum(img * img) + jnp.sum(dep), out
+
+    for kw in (dict(straggler_frac=0.125, compact_across_batch=True),
+               dict(straggler_frac=0.0)):
+        plain_cfg = dataclasses.replace(base, batch_group=0, **kw)
+        group_cfg = dataclasses.replace(base, batch_group=2, **kw)
+        hits_p = raycast.find_surface_crossings(sdf, valid, views, intrs, plain_cfg)
+        hits_g = raycast.find_surface_crossings(sdf, valid, views, intrs, group_cfg)
+        assert np.asarray(hits_p["hit"]).sum() > 50
+        for k in ("hit", "hit_idx"):
+            np.testing.assert_array_equal(
+                np.asarray(hits_g[k]), np.asarray(hits_p[k]), err_msg=k
+            )
+        for k in ("alpha", "depth"):
+            np.testing.assert_allclose(
+                np.asarray(hits_g[k]), np.asarray(hits_p[k]),
+                rtol=2e-5, atol=2e-5, err_msg=k,
+            )
+
+        (_, out_p), grads_p = jax.value_and_grad(shaded_loss, argnums=(0, 1), has_aux=True)(
+            sdf, color, plain_cfg
+        )
+        (_, out_g), grads_g = jax.value_and_grad(shaded_loss, argnums=(0, 1), has_aux=True)(
+            sdf, color, group_cfg
+        )
+        for a, b, name in zip(out_p, out_g, out_p._fields):
+            a, b = np.asarray(a), np.asarray(b)
+            # -inf marks invalid pixels: the masks must agree exactly
+            np.testing.assert_array_equal(
+                np.isfinite(a), np.isfinite(b), err_msg=f"{name} validity"
+            )
+            np.testing.assert_allclose(
+                np.nan_to_num(a, neginf=0.0), np.nan_to_num(b, neginf=0.0),
+                rtol=2e-5, atol=2e-5, err_msg=name,
+            )
+        for a, b, name in zip(grads_p, grads_g, ("d_sdf", "d_color")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+                err_msg=name,
+            )
+
+    # occupancy raycast groups too
+    occ = jnp.asarray(np.stack([np.abs(s1) < 1, np.abs(s2) < 1,
+                                np.abs(s3) < 1, np.abs(s2) < 1]))
+    occ_p = raycast.raycast_occ(occ, views, intrs, dataclasses.replace(base, batch_group=0))
+    occ_g = raycast.raycast_occ(occ, views, intrs, dataclasses.replace(base, batch_group=2))
+    np.testing.assert_array_equal(np.asarray(occ_g), np.asarray(occ_p))
+    # non-divisible group sizes fall back to the ungrouped march
+    occ_f = raycast.raycast_occ(occ, views, intrs, dataclasses.replace(base, batch_group=3))
+    np.testing.assert_array_equal(np.asarray(occ_f), np.asarray(occ_p))
