@@ -241,6 +241,7 @@ def bench_scene(args, quiet=False):
         window_batch=args.window_batch,
         pred_color=True, pred_semantic=True,
         scan_windows=getattr(args, "scan_windows", False),
+        stitch_slices=getattr(args, "stitch_slices", False),
     )
     if compact_feed:
         # raw-feed path: clamp/LAB/mask/pad run on device, ~4x less
@@ -276,6 +277,7 @@ def bench_scene(args, quiet=False):
                   "window_batch": args.window_batch, "bf16": bf16,
                   "compact_feed": compact_feed,
                   "scan_windows": getattr(args, "scan_windows", False),
+                  "stitch_slices": getattr(args, "stitch_slices", False),
                   "folded_conv": cfg.folded_conv,
                   "zslab_conv": cfg.zslab_conv,
                   "fused_conv": cfg.fused_conv,
@@ -501,7 +503,7 @@ _AB_NEUTRAL_TRAIN = {
 _AB_NEUTRAL_SCENE = {
     "zslab_conv": False, "folded_conv": False, "fused_conv": False,
     "pallas_conv": False, "scan_windows": False, "window_batch": 8,
-    "compact_feed": False,
+    "compact_feed": False, "stitch_slices": False,
 }
 _AB_TRAIN = [
     ("baseline", {}),
@@ -567,6 +569,13 @@ _AB_SCENE = [
                           "compact_feed": True}),
     ("zslab+scan_wb16+cfeed", {"zslab_conv": True, "scan_windows": True,
                                "window_batch": 16, "compact_feed": True}),
+    # round-5: slice-RMW stitching (inference/chunked.py stitch_slices) —
+    # the flat scatter-add stitch is per-row latency-bound on TPU
+    ("zslab+scan+cfeed+rmw", {"zslab_conv": True, "scan_windows": True,
+                              "compact_feed": True, "stitch_slices": True}),
+    ("zslab+scan_wb16+cfeed+rmw", {"zslab_conv": True, "scan_windows": True,
+                                   "window_batch": 16, "compact_feed": True,
+                                   "stitch_slices": True}),
 ]
 
 
@@ -712,6 +721,10 @@ def main():
                    help="cache the parameter-independent input/target renders "
                    "outside the step (bit-identical; models the training "
                    "loop's per-chunk render cache)")
+    p.add_argument("--stitch_slices", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="scene mode: slice-RMW stitching instead of flat "
+                   "scatter-adds (inference/chunked.py stitch_slices)")
     p.add_argument("--scan_windows", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="scene mode: one jitted lax.scan over all window "

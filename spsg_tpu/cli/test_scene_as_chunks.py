@@ -62,6 +62,11 @@ def build_parser():
                    help="feed raw f32-sdf + u8-rgb to the device and run "
                    "clamp/LAB/mask on-chip (~4x less host->device traffic "
                    "per scene); incompatible with --augment_rgb_scaling")
+    p.add_argument("--stitch_slices", action="store_true",
+                   help="stitch windows by dense slice read-modify-write "
+                   "instead of flat scatter-adds (TPU scatter rows are "
+                   "latency-bound); int metrics bit-identical, float sums "
+                   "differ by add-order ulps")
     p.add_argument("--compute_dtype", type=str, default="",
                    help="'bfloat16' runs the generator convs in bf16 "
                    "(MXU-friendly; bf16-vs-f32 IoU parity verified in "
@@ -194,6 +199,7 @@ def main(argv=None):
             stride=args.stride,
             window_batch=args.window_batch,
             scan_windows=args.scan_windows,
+            stitch_slices=args.stitch_slices,
             pred_color=args.weight_color_loss > 0,
             pred_semantic=args.weight_semantic_loss > 0,
         )

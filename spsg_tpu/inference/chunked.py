@@ -105,6 +105,7 @@ def run_chunked_inference(
     skip_empty_windows: bool = False,
     scan_windows: bool = False,
     compact_scene: Optional[Dict[str, np.ndarray]] = None,
+    stitch_slices: bool = False,
 ) -> SceneOutputs:
     """Stitched scene completion + IoU accumulation.
 
@@ -116,7 +117,17 @@ def run_chunked_inference(
     then all run in one jitted prep ON DEVICE. Host->device traffic drops
     ~4x (e.g. 314 MB -> 74 MB for a 128x256x320 scene) — host transfers are
     the scaling wall on relay-attached TPUs (CLAUDE.md). When given,
-    ``scene_input``/``scene_mask`` may be None."""
+    ``scene_input``/``scene_mask`` may be None.
+
+    ``stitch_slices``: stitch windows by dense dynamic-slice
+    read-modify-write on SHAPED scene accumulators (and extract target
+    windows by dynamic_slice) instead of flat 8M-row scatter-adds/gathers.
+    TPU scatter/gather are per-row latency-bound (docs/DESIGN.md §2), while
+    a window's contribution is a contiguous (cz, cy, cx) block — the RMW
+    path turns stitching into plain HBM block traffic. Integer accumulators
+    (counts, occ, IoU) are bit-identical to the scatter path; float sums
+    (sdf/color/semantic) can differ by add-order ulps where >1 window of
+    the same batch overlaps a voxel."""
     raw_sdf = raw_rgb = None
     if compact_scene is not None:
         raw_sdf = compact_scene["sdf"]
@@ -200,22 +211,39 @@ def run_chunked_inference(
     has_target = target_sdf is not None
     has_sem_target = has_target and target_semantics is not None and pred_semantic
 
-    # placeholders keep the update signature static when there is no target
-    tgt_flat = jnp.zeros((), jnp.float32)
-    kn_flat = jnp.zeros((), bool)
-    sm_flat = jnp.zeros((), jnp.int32)
+    # placeholders keep the update signature static when there is no target.
+    # Fill values reproduce the reference's beyond-scene chunk fills
+    # (test_scene_as_chunks.py:166-180): sdf -> inf (never occupied),
+    # known -> True, semantics -> UNLABELED (one_hot of 14 == zeros).
+    tgt_dev = jnp.zeros((), jnp.float32)
+    kn_dev = jnp.zeros((), bool)
+    sm_dev = jnp.zeros((), jnp.int32)
     if has_target:
-        tgt_flat = jnp.asarray(np.ascontiguousarray(target_sdf[:Z]), jnp.float32).reshape(-1)
-        kn_flat = (
-            jnp.asarray(known[:Z] <= 1).reshape(-1)
+        tgt_np = np.ascontiguousarray(target_sdf[:Z]).astype(np.float32)
+        kn_np = (
+            np.ascontiguousarray(known[:Z] <= 1)
             if known is not None
-            else jnp.ones((n_scene,), bool)
+            else np.ones((Z, Y, X), bool)
         )
-        sm_flat = (
-            jnp.asarray(target_semantics[:Z]).reshape(-1).astype(jnp.int32)
+        sm_np = (
+            np.ascontiguousarray(target_semantics[:Z]).astype(np.int32)
             if target_semantics is not None
-            else jnp.full((n_scene,), category.UNLABELED, jnp.int32)
+            else np.full((Z, Y, X), category.UNLABELED, np.int32)
         )
+        if stitch_slices:
+            # padded SHAPED targets: per-window extraction is a dynamic_slice
+            # (the scatter path gathers 8M flat rows per window batch instead)
+            pz, py, px = max(0, cz - Z), cy, cx
+            pad3 = ((0, pz), (0, py), (0, px))
+            tgt_dev = jnp.asarray(np.pad(tgt_np, pad3, constant_values=np.inf))
+            kn_dev = jnp.asarray(np.pad(kn_np, pad3, constant_values=True))
+            sm_dev = jnp.asarray(
+                np.pad(sm_np, pad3, constant_values=category.UNLABELED)
+            )
+        else:
+            tgt_dev = jnp.asarray(tgt_np).reshape(-1)
+            kn_dev = jnp.asarray(kn_np).reshape(-1)
+            sm_dev = jnp.asarray(sm_np).reshape(-1)
 
     zz = jnp.arange(cz, dtype=jnp.int32)[:, None, None]
     yy = jnp.arange(cy, dtype=jnp.int32)[None, :, None]
@@ -263,9 +291,9 @@ def run_chunked_inference(
         rep = NamedSharding(mesh, P())
         scene_in_dev = jax.device_put(scene_in_dev, rep)
         scene_mask_dev = jax.device_put(scene_mask_dev, rep)
-        tgt_flat = jax.device_put(tgt_flat, rep)
-        kn_flat = jax.device_put(kn_flat, rep)
-        sm_flat = jax.device_put(sm_flat, rep)
+        tgt_dev = jax.device_put(tgt_dev, rep)
+        kn_dev = jax.device_put(kn_dev, rep)
+        sm_dev = jax.device_put(sm_dev, rep)
 
     # NB: the scene tensors are jit ARGUMENTS, not closure captures — a
     # captured jax.Array is embedded in the lowered module as a constant,
@@ -304,7 +332,7 @@ def run_chunked_inference(
     else:
         extract_jit = jax.jit(extract)
 
-    def update(acc, occ_l, sdf_p, color_p, sem_p, pos, real, tgt_flat, kn_flat, sm_flat):
+    def update(acc, occ_l, sdf_p, color_p, sem_p, pos, real, tgt_dev, kn_dev, sm_dev):
         occ_l = occ_l[..., 0]
         sdf_p = sdf_p[..., 0]
         occ = jax.nn.sigmoid(occ_l) > 0.5
@@ -357,9 +385,9 @@ def run_chunked_inference(
             # test_scene_as_chunks.py:166-180)
             gidx = jnp.where(in_scene, flat, 0).reshape(-1)
             tgt = jnp.where(
-                in_scene, tgt_flat[gidx].reshape(occ.shape), jnp.inf
+                in_scene, tgt_dev[gidx].reshape(occ.shape), jnp.inf
             )
-            kn = jnp.where(in_scene, kn_flat[gidx].reshape(occ.shape), True)
+            kn = jnp.where(in_scene, kn_dev[gidx].reshape(occ.shape), True)
             kn &= real[:, None, None, None]
             tgt_occ = jnp.abs(tgt) < truncation
             occ_r = occ & real[:, None, None, None]
@@ -367,7 +395,7 @@ def run_chunked_inference(
             acc["geo_u"] += jnp.sum(((occ_r | tgt_occ) & kn).astype(jnp.int32))
             if has_sem_target:
                 sm = jnp.where(
-                    in_scene, sm_flat[gidx].reshape(occ.shape), category.UNLABELED
+                    in_scene, sm_dev[gidx].reshape(occ.shape), category.UNLABELED
                 )
                 lbl = jnp.argmax(sem_p, axis=-1)
                 sem_known = kn & (sm != category.UNLABELED)
@@ -385,22 +413,113 @@ def run_chunked_inference(
                 )
         return acc
 
-    update_jit = jax.jit(update, donate_argnums=(0, 1, 2, 3, 4))
+    def update_rmw(acc, occ_l, sdf_p, color_p, sem_p, pos, real, tgt_dev, kn_dev, sm_dev):
+        """stitch_slices variant of update(): SHAPED accumulators, one dense
+        dynamic-slice read-modify-write per window (TPU scatter rows are
+        latency-bound; a window is a contiguous block), target windows by
+        dynamic_slice. Same masks/fills as update() — integer results are
+        bit-identical, float sums differ only by add order within a batch."""
+        occ_l = occ_l[..., 0]
+        sdf_p = sdf_p[..., 0]
+        occ = jax.nn.sigmoid(occ_l) > 0.5
+        surf = (jnp.abs(sdf_p) < truncation) & occ
+        acc = dict(acc)
+        for i in range(occ.shape[0]):  # static unroll over the window batch
+            y = pos[i, 0]
+            x = pos[i, 1]
+            gy = y + yy  # (1,cy,1) broadcasting with zz/xx to (cz,cy,cx)
+            gx = x + xx
+            in_scene = (zz < Z) & (gy < Y) & (gx < X)
+            inter = in_scene
+            if stride < cy:
+                inter &= ~((y > 0) & (yy < pad))
+                inter &= ~((x > 0) & (xx < pad))
+                inter &= ~((y + cy < Y) & (yy >= cy - pad))
+                inter &= ~((x + cx < X) & (xx >= cx - pad))
+            keep = inter & surf[i] & real[i]
 
-    acc = dict(
-        sdf=jnp.zeros((n_scene,), jnp.float32),
-        counts=jnp.zeros((n_scene,), jnp.int32),
-        occ=jnp.zeros((n_scene,), jnp.int32),
-        geo_i=jnp.zeros((), jnp.int32),
-        geo_u=jnp.zeros((), jnp.int32),
-        cls_i=jnp.zeros((n_classes,), jnp.int32),
-        cls_u=jnp.zeros((n_classes,), jnp.int32),
-        cls_w=jnp.zeros((n_classes,), jnp.int32),
-    )
-    if pred_color:
-        acc["color"] = jnp.zeros((n_scene, 3), jnp.float32)
-    if pred_semantic:
-        acc["sem"] = jnp.zeros((n_scene, n_classes), jnp.float32)
+            def rmw(a, v, op=jnp.add):
+                start = (jnp.int32(0), y, x) + (jnp.int32(0),) * (a.ndim - 3)
+                blk = jax.lax.dynamic_slice(a, start, (cz, cy, cx) + a.shape[3:])
+                return jax.lax.dynamic_update_slice(a, op(blk, v), start)
+
+            acc["sdf"] = rmw(acc["sdf"], jnp.where(keep, sdf_p[i], 0.0))
+            acc["counts"] = rmw(acc["counts"], keep.astype(jnp.int32))
+            if pred_color:
+                acc["color"] = rmw(
+                    acc["color"],
+                    jnp.where(keep[..., None], (color_p[i] + 1.0) * 0.5, 0.0),
+                )
+            if pred_semantic:
+                acc["sem"] = rmw(
+                    acc["sem"], jnp.where(keep[..., None], sem_p[i], 0.0)
+                )
+            occ_i = (occ[i] & in_scene & real[i]).astype(jnp.int32)
+            acc["occ"] = rmw(acc["occ"], occ_i, op=jnp.maximum)
+
+            if has_target:
+                start3 = (jnp.int32(0), y, x)
+                sz3 = (cz, cy, cx)
+                tgt = jax.lax.dynamic_slice(tgt_dev, start3, sz3)
+                kn = jax.lax.dynamic_slice(kn_dev, start3, sz3) & real[i]
+                tgt_occ = jnp.abs(tgt) < truncation
+                occ_r = occ[i] & real[i]
+                acc["geo_i"] += jnp.sum((occ_r & tgt_occ & kn).astype(jnp.int32))
+                acc["geo_u"] += jnp.sum(((occ_r | tgt_occ) & kn).astype(jnp.int32))
+                if has_sem_target:
+                    sm = jax.lax.dynamic_slice(sm_dev, start3, sz3)
+                    lbl = jnp.argmax(sem_p[i], axis=-1)
+                    sem_known = kn & (sm != category.UNLABELED)
+                    p1 = jax.nn.one_hot(lbl, n_classes, dtype=jnp.int32) * occ_r[..., None]
+                    t1 = jax.nn.one_hot(sm, n_classes, dtype=jnp.int32) * tgt_occ[..., None]
+                    k1 = sem_known[..., None].astype(jnp.int32)
+                    acc["cls_i"] += jnp.sum(p1 * t1 * k1, axis=(0, 1, 2))
+                    acc["cls_u"] += jnp.sum(
+                        (((p1 + t1) > 0).astype(jnp.int32)) * k1, axis=(0, 1, 2)
+                    )
+                    acc["cls_w"] += jnp.sum(
+                        jax.nn.one_hot(sm, n_classes, dtype=jnp.int32)
+                        * real[i].astype(jnp.int32),
+                        axis=(0, 1, 2),
+                    )
+        return acc
+
+    upd = update_rmw if stitch_slices else update
+    update_jit = jax.jit(upd, donate_argnums=(0, 1, 2, 3, 4))
+
+    if stitch_slices:
+        # shaped accumulators, padded like the input scene so a window RMW
+        # never clamps; cropped back to (Z, Y, X) in finalize
+        shp = (Z + pad_z, Y + pad_y, X + pad_x)
+        acc = dict(
+            sdf=jnp.zeros(shp, jnp.float32),
+            counts=jnp.zeros(shp, jnp.int32),
+            occ=jnp.zeros(shp, jnp.int32),
+            geo_i=jnp.zeros((), jnp.int32),
+            geo_u=jnp.zeros((), jnp.int32),
+            cls_i=jnp.zeros((n_classes,), jnp.int32),
+            cls_u=jnp.zeros((n_classes,), jnp.int32),
+            cls_w=jnp.zeros((n_classes,), jnp.int32),
+        )
+        if pred_color:
+            acc["color"] = jnp.zeros(shp + (3,), jnp.float32)
+        if pred_semantic:
+            acc["sem"] = jnp.zeros(shp + (n_classes,), jnp.float32)
+    else:
+        acc = dict(
+            sdf=jnp.zeros((n_scene,), jnp.float32),
+            counts=jnp.zeros((n_scene,), jnp.int32),
+            occ=jnp.zeros((n_scene,), jnp.int32),
+            geo_i=jnp.zeros((), jnp.int32),
+            geo_u=jnp.zeros((), jnp.int32),
+            cls_i=jnp.zeros((n_classes,), jnp.int32),
+            cls_u=jnp.zeros((n_classes,), jnp.int32),
+            cls_w=jnp.zeros((n_classes,), jnp.int32),
+        )
+        if pred_color:
+            acc["color"] = jnp.zeros((n_scene, 3), jnp.float32)
+        if pred_semantic:
+            acc["sem"] = jnp.zeros((n_scene, n_classes), jnp.float32)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -424,7 +543,7 @@ def run_chunked_inference(
                 all_real[bidx, bi] = True
 
         def run_all(variables, scene_in, scene_mask, acc, all_pos, all_real,
-                    tgt_flat, kn_flat, sm_flat):
+                    tgt_dev, kn_dev, sm_dev):
             def body(carry, pr):
                 pos, real = pr
                 cb, mb = extract(scene_in, scene_mask, pos)
@@ -439,11 +558,11 @@ def run_chunked_inference(
                     pred_semantic=pred_semantic, train=False,
                 )
                 zero = jnp.zeros((), jnp.float32)
-                carry = update(
+                carry = upd(
                     carry, occ_l, sdf_p,
                     color_p if color_p is not None else zero,
                     sem_p if sem_p is not None else zero,
-                    pos, real, tgt_flat, kn_flat, sm_flat,
+                    pos, real, tgt_dev, kn_dev, sm_dev,
                 )
                 return carry, None
 
@@ -453,7 +572,7 @@ def run_chunked_inference(
         acc = jax.jit(run_all, donate_argnums=(3,))(
             variables, scene_in_dev, scene_mask_dev, acc,
             jnp.asarray(all_pos), jnp.asarray(all_real),
-            tgt_flat, kn_flat, sm_flat,
+            tgt_dev, kn_dev, sm_dev,
         )
     else:
         for bidx in range(n_batches):
@@ -475,7 +594,7 @@ def run_chunked_inference(
                 acc, occ_l, sdf_p,
                 color_p if color_p is not None else zero,
                 sem_p if sem_p is not None else zero,
-                pos, real_j, tgt_flat, kn_flat, sm_flat,
+                pos, real_j, tgt_dev, kn_dev, sm_dev,
             )
 
     # normalize ON DEVICE (test_scene_as_chunks.py:270-280) and transfer the
@@ -483,6 +602,17 @@ def run_chunked_inference(
     # ((N, 14) float semantic sums alone dominate), and host transfer is the
     # whole-scene bottleneck on a relay-attached TPU.
     def finalize(acc):
+        if stitch_slices:
+            # crop the shaped padded accumulators back to the scene extent
+            # and flatten so the normalization below is layout-agnostic
+            acc = {
+                k: (
+                    v[:Z, :Y, :X].reshape((n_scene,) + v.shape[3:])
+                    if v.ndim >= 3
+                    else v
+                )
+                for k, v in acc.items()
+            }
         counts = acc["counts"]
         got = counts > 0
         cf = jnp.maximum(counts.astype(jnp.float32), 1.0)

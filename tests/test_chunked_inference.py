@@ -205,3 +205,42 @@ def test_compact_feed_matches_host_assembly():
         scan_windows=True, **kwargs,
     )
     assert (got2.counts == got.counts).mean() > 0.999
+
+
+def test_stitch_slices_matches_scatter():
+    """stitch_slices replaces the flat scatter-add stitch with per-window
+    dense slice read-modify-write (round-5: TPU scatter/gather rows are
+    latency-bound, a window is a contiguous block). Integer accumulators
+    (counts, occ grid, geo/class IoU) must match the scatter path exactly;
+    float sums may differ by add order where windows of the same batch
+    overlap a voxel — bound those tightly. Covered in both the per-batch
+    loop and the lax.scan whole-scene paths."""
+    cfg, gen, variables = _setup()
+    sample = _scene_sample((16, 40, 48), seed=4)
+
+    def run(**kw):
+        return chunked.run_chunked_inference(
+            gen, variables, sample["input"], sample["mask"],
+            sample["target_sdf"], sample["known"], sample["semantics"],
+            chunk_dims=CHUNK, stride=8, pad=2, max_height=CHUNK[0],
+            window_batch=4, **kw,
+        )
+
+    for scan in (False, True):
+        ref = run(scan_windows=scan, stitch_slices=False)
+        rmw = run(scan_windows=scan, stitch_slices=True)
+        np.testing.assert_array_equal(rmw.counts, ref.counts, err_msg="counts")
+        np.testing.assert_array_equal(rmw.occ, ref.occ, err_msg="occ")
+        assert rmw.geo_intersection == ref.geo_intersection
+        assert rmw.geo_union == ref.geo_union
+        np.testing.assert_array_equal(rmw.class_intersection, ref.class_intersection)
+        np.testing.assert_array_equal(rmw.class_union, ref.class_union)
+        np.testing.assert_array_equal(rmw.class_weight, ref.class_weight)
+        got = ref.counts > 0
+        np.testing.assert_allclose(rmw.sdf[got], ref.sdf[got], atol=1e-5)
+        # colors are u8-rounded on device: add-order ulps can flip a
+        # 0.5-boundary rounding by at most 1
+        assert int(np.abs(
+            rmw.colors[got].astype(np.int16) - ref.colors[got].astype(np.int16)
+        ).max()) <= 1
+        np.testing.assert_array_equal(rmw.sem_labels[got], ref.sem_labels[got])
