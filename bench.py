@@ -108,12 +108,13 @@ def _supervise() -> "int":
     import subprocess
 
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "2"))
-    # 540 s covers a cold full-step compile through the relay (~310-370 s
+    # 720 s covers a cold full-step compile through the relay (~360 s to
+    # first timed step observed for the round-5 B=8 default; ~310-370 s
     # observed end-to-end for the round-4 default config: zslab + pair +
     # global compaction + steps_per_call=4) with margin; cache-warm runs
     # finish in ~90-160 s (the .jax_cache persisted by the measurement
     # queue already holds the default program)
-    deadline = int(os.environ.get("BENCH_ATTEMPT_S", "540"))
+    deadline = int(os.environ.get("BENCH_ATTEMPT_S", "720"))
     if "--sweep" in sys.argv or "--ab" in sys.argv:
         deadline *= 24  # multi-config runs legitimately take hours
     pause = 15
@@ -663,7 +664,12 @@ def main():
     _phase(f"backend up: {devs}")
 
     p = argparse.ArgumentParser()
-    p.add_argument("--batch_size", type=int, default=2)  # reference default (train.py:49)
+    # default = the measured round-5 full-step winner: B=8 + compact_resid
+    # + march_group=2 (+ pair/global/spc4), zslab OFF at B=8 — 5.13
+    # chunks/s/chip (1.56 s/step) vs 4.05 for the round-4 B=2+zslab default.
+    # The reference default batch is 2 (train.py:49); --batch_size 2 restores
+    # the per-step-latency operating point.
+    p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--mode", choices=["full", "2d", "geo", "scene"], default="full")
@@ -682,7 +688,7 @@ def main():
                    "(respects --mode; one stderr row per variant)")
     p.add_argument("--only_ab", default="",
                    help="comma-separated subset of --ab variant names")
-    p.add_argument("--march_group", type=int, default=0,
+    p.add_argument("--march_group", type=int, default=2,
                    help="march/shade the batch in sequential groups of this "
                    "many samples (shrinks the per-pass gather working set — "
                    "the packed-cell table is 32 MB/sample and TPU gather "
@@ -709,22 +715,29 @@ def main():
                    "generator convs (gy*gx output pixels per MXU row — the "
                    "nf=20 lane-ceiling fix, ops/folded_conv.py)")
     p.add_argument("--zslab_conv", action=argparse.BooleanOptionalAction,
-                   default=True,
+                   default=None,
                    help="z-slab rank-4 formulation for every generator conv "
                    "(kz taps fold into channels; 6.4x over the rank-5 conv "
-                   "lowering in tools/conv_probe.py — ops/zslab_conv.py)")
+                   "lowering in tools/conv_probe.py — ops/zslab_conv.py). "
+                   "Wins at B=2 (4.05 vs 3.65) but LOSES at the B=8 default "
+                   "(4.56 vs 4.89, round-5 A/B): the slab transposes scale "
+                   "with activations while the MXU win does not. Default: "
+                   "off in train modes (B=8), ON in scene mode (conv-bound "
+                   "once the stitch is slice-RMW)")
     p.add_argument("--compact_resid", action=argparse.BooleanOptionalAction,
-                   default=False,
+                   default=True,
                    help="compact lane-aligned generator residuals (~4x lower "
-                   "step HBM, enables B>=4)")
+                   "step HBM, required by the B=8 default)")
     p.add_argument("--precomp", action=argparse.BooleanOptionalAction, default=True,
                    help="cache the parameter-independent input/target renders "
                    "outside the step (bit-identical; models the training "
                    "loop's per-chunk render cache)")
     p.add_argument("--stitch_slices", action=argparse.BooleanOptionalAction,
-                   default=False,
+                   default=True,
                    help="scene mode: slice-RMW stitching instead of flat "
-                   "scatter-adds (inference/chunked.py stitch_slices)")
+                   "scatter-adds (inference/chunked.py stitch_slices; the "
+                   "scatter stitch was ~10.5 s of the 18.4 s scene step — "
+                   "rmw+cfeed measured 1.26 Mvox/s vs 0.57, round-5)")
     p.add_argument("--scan_windows", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="scene mode: one jitted lax.scan over all window "
@@ -732,7 +745,7 @@ def main():
     p.add_argument("--window_batch", type=int, default=8,
                    help="windows per device batch in --mode scene")
     p.add_argument("--compact_feed", action=argparse.BooleanOptionalAction,
-                   default=False,
+                   default=True,
                    help="scene mode: feed raw f32-sdf + u8-rgb and assemble "
                    "the sample on device (~4x less host->device traffic)")
     p.add_argument("--scene_dims", type=int, nargs=3, default=[128, 256, 320],
@@ -757,6 +770,8 @@ def main():
                    default=False,
                    help="fused conv+LeakyReLU+BN-stats Pallas block")
     args = p.parse_args()
+    if args.zslab_conv is None:
+        args.zslab_conv = args.mode == "scene"  # see --zslab_conv help
 
     try:
         if args.ab:

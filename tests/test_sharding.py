@@ -71,12 +71,13 @@ def test_data_parallel_matches_single_device():
 
 
 def test_sharded_full_step_with_round4_knobs():
-    """The round-4 perf knobs must compile and run under a data-parallel
+    """The round-4/5 perf knobs must compile and run under a data-parallel
     mesh: pair_raycast (stacked 2B march), compact_across_batch (cross-row
-    straggler gathers become collectives under GSPMD), fused_conv (the
-    Pallas block, interpret mode on CPU devices), and folded_conv (the
-    output-folded matmul; per-shard spatial slicing under GSPMD). Finite
-    loss + replicated params."""
+    straggler gathers become collectives under GSPMD), march_group (the
+    lax.map batch regrouping must tolerate a batch-sharded leading dim),
+    fused_conv (the Pallas block, interpret mode on CPU devices), and
+    folded_conv (the output-folded matmul; per-shard spatial slicing under
+    GSPMD). Finite loss + replicated params."""
     n = 4
     mesh = make_mesh(jax.devices()[:n])
     cfg = TrainConfig(
@@ -86,6 +87,7 @@ def test_sharded_full_step_with_round4_knobs():
         pair_raycast=True, compact_across_batch=True, fused_conv=True,
         folded_conv=True,  # composes: fused takes act+bn 3x3x3 blocks,
         # folded takes the remaining eligible convs (5x5x5 + bare heads)
+        march_group=2,
     )
     gen_state, disc_state = init_states(cfg, jax.random.PRNGKey(0))
     trainer = Trainer(cfg)
