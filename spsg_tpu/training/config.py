@@ -137,6 +137,12 @@ class TrainConfig:
     # flagship sample, and at B=8 ungrouped each gather row costs ~2.5x more
     # than at B=2 (round-5 traces). Hit decisions are bit-identical; ray
     # depths drift a few ulps (XLA fma choices differ inside lax.map).
+    # Single-chip B=8+group-2 measured 4.89 chunks/s/chip vs 3.61 ungrouped.
+    # NOTE: this is a PER-CHIP working-set optimization — under a multi-chip
+    # data-parallel mesh the lax.map regroups the GLOBAL batch (GSPMD inserts
+    # cross-device collectives and serializes groups across chips); leave it
+    # 0 there, or size it to the per-chip batch only if the per-chip batch
+    # exceeds 2 (tests/test_sharding.py covers correctness of the composition).
     march_group: int = 0
     # per-(chunk, frames) device-side LRU of the parameter-independent view
     # precomputation (input/target march hits + depth chain; the reference
